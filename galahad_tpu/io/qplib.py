@@ -1,0 +1,284 @@
+"""QPLIB file reader / writer.
+
+TPU-native equivalent of GALAHAD's RPD package
+(reference src/rpd/rpd.f90: RPD_read_problem_data :352,
+RPD_write_qp_problem_data :1254; format documented inline at
+examples/QPBAND.qplib:1-15).
+
+Grammar: comments start with '!'; each record is one line (extra trailing
+commentary words ignored); sparse sections are "count; count lines of
+indices+value"; vectors are "default value; #exceptions; exception lines".
+Problem-type code is 3 letters: objective (L linear, Q quadratic,
+D diagonal-quadratic, C convex-quadratic, B none/box?), variables
+(C continuous, B binary, I integer, M/G mixed), constraints (N none,
+B box only, L linear, Q quadratic).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..core.problem import INFINITY, QP
+
+
+@dataclasses.dataclass
+class QPLIBProblem:
+    """Raw parsed QPLIB data (host-side numpy)."""
+
+    name: str
+    ptype: str
+    minimize: bool
+    n: int
+    m: int
+    H: np.ndarray            # (n, n) dense symmetric (zero if LP)
+    g: np.ndarray
+    f: float
+    A: np.ndarray            # (m, n)
+    c_l: np.ndarray
+    c_u: np.ndarray
+    x_l: np.ndarray
+    x_u: np.ndarray
+    x0: np.ndarray
+    y0: np.ndarray
+    z0: np.ndarray
+    infinity: float
+    var_types: np.ndarray    # 0 continuous, 1 integer, 2 binary
+    H_c: list                # [(con, row, col, val)] quadratic constraint terms
+    x_names: dict
+    c_names: dict
+
+    def to_qp(self, dtype=np.float64) -> QP:
+        """Convert to a dense solver-ready QP pytree (values >= infinity
+        are mapped to the library INFINITY convention)."""
+        import jax.numpy as jnp
+
+        if self.H_c:
+            raise NotImplementedError("quadratic constraints (QCQP) not supported yet")
+
+        def clip_inf(v):
+            v = np.asarray(v, dtype=np.float64).copy()
+            v[v >= self.infinity] = INFINITY
+            v[v <= -self.infinity] = -INFINITY
+            return v
+
+        sgn = 1.0 if self.minimize else -1.0
+        quad = self.ptype[0].upper() in ("Q", "D", "C")
+        H = sgn * self.H if quad else None
+        return QP(
+            H=jnp.asarray(H, dtype) if H is not None else None,
+            g=jnp.asarray(sgn * self.g, dtype),
+            f=sgn * float(self.f),
+            A=jnp.asarray(self.A, dtype),
+            c_l=jnp.asarray(clip_inf(self.c_l), dtype),
+            c_u=jnp.asarray(clip_inf(self.c_u), dtype),
+            x_l=jnp.asarray(clip_inf(self.x_l), dtype),
+            x_u=jnp.asarray(clip_inf(self.x_u), dtype),
+            x=jnp.asarray(self.x0, dtype),
+            y=jnp.asarray(self.y0, dtype),
+            z=jnp.asarray(self.z0, dtype),
+            name=self.name,
+            h_kind="dense" if quad else "zero",
+        )
+
+
+class _Records:
+    """Token stream over significant lines of a QPLIB file."""
+
+    def __init__(self, text: str):
+        self.lines = [
+            ln.strip()
+            for ln in text.splitlines()
+            if ln.strip() and not ln.strip().startswith(("!", "%", "#"))
+        ]
+        self.pos = 0
+
+    def next(self) -> list[str]:
+        if self.pos >= len(self.lines):
+            raise ValueError("unexpected end of QPLIB file")
+        toks = self.lines[self.pos].split()
+        self.pos += 1
+        return toks
+
+    def next_int(self) -> int:
+        return int(float(self.next()[0].replace("D", "E").replace("d", "e")))
+
+    def next_float(self) -> float:
+        return float(self.next()[0].replace("D", "E").replace("d", "e"))
+
+    def next_str(self) -> str:
+        return self.next()[0]
+
+
+def _read_vector(rec: _Records, size: int, integer: bool = False) -> np.ndarray:
+    default = rec.next_float()
+    v = np.full(size, default)
+    k = rec.next_int()
+    for _ in range(k):
+        toks = rec.next()
+        i = int(toks[0]) - 1
+        v[i] = float(toks[1].replace("D", "E").replace("d", "e"))
+    return v.astype(np.int64) if integer else v
+
+
+def _read_names(rec: _Records) -> dict:
+    k = rec.next_int()
+    out = {}
+    for _ in range(k):
+        toks = rec.next()
+        out[int(toks[0]) - 1] = toks[1]
+    return out
+
+
+def loads(text: str) -> QPLIBProblem:
+    rec = _Records(text)
+    name = rec.next_str()
+    ptype = rec.next_str().upper()
+    if len(ptype) != 3:
+        raise ValueError(f"bad QPLIB problem-type code {ptype!r}")
+    obj_t, var_t, con_t = ptype
+    minimize = rec.next_str().lower().startswith("min")
+    n = rec.next_int()
+    has_constraints = con_t in ("L", "Q")
+    m = rec.next_int() if has_constraints else 0
+
+    # objective Hessian (lower triangle coordinate)
+    H = np.zeros((n, n))
+    if obj_t in ("Q", "D", "C"):
+        nnz = rec.next_int()
+        for _ in range(nnz):
+            toks = rec.next()
+            i, j = int(toks[0]) - 1, int(toks[1]) - 1
+            v = float(toks[2].replace("D", "E").replace("d", "e"))
+            H[i, j] += v
+            if i != j:
+                H[j, i] += v
+
+    g = _read_vector(rec, n)
+    f = rec.next_float()
+
+    # quadratic constraint Hessians
+    H_c = []
+    if con_t == "Q":
+        nnz = rec.next_int()
+        for _ in range(nnz):
+            toks = rec.next()
+            H_c.append(
+                (int(toks[0]) - 1, int(toks[1]) - 1, int(toks[2]) - 1,
+                 float(toks[3].replace("D", "E").replace("d", "e")))
+            )
+
+    # constraint Jacobian
+    A = np.zeros((m, n))
+    if has_constraints:
+        nnz = rec.next_int()
+        for _ in range(nnz):
+            toks = rec.next()
+            A[int(toks[0]) - 1, int(toks[1]) - 1] += float(
+                toks[2].replace("D", "E").replace("d", "e")
+            )
+
+    infinity = rec.next_float()
+
+    if has_constraints:
+        c_l = _read_vector(rec, m)
+        c_u = _read_vector(rec, m)
+    else:
+        c_l = np.zeros(0)
+        c_u = np.zeros(0)
+
+    if con_t == "N":            # no bounds section for unconstrained type
+        x_l = np.full(n, -infinity)
+        x_u = np.full(n, infinity)
+    else:
+        x_l = _read_vector(rec, n)
+        x_u = _read_vector(rec, n)
+
+    var_types = np.zeros(n, dtype=np.int64)
+    if var_t not in ("C",):
+        if var_t in ("B", "I"):
+            var_types[:] = 2 if var_t == "B" else 1
+        else:  # mixed: explicit section
+            var_types = _read_vector(rec, n, integer=True)
+
+    x0 = _read_vector(rec, n)
+    y0 = _read_vector(rec, m) if has_constraints else np.zeros(0)
+    z0 = _read_vector(rec, n)
+
+    x_names = _read_names(rec) if rec.pos < len(rec.lines) else {}
+    c_names = _read_names(rec) if has_constraints and rec.pos < len(rec.lines) else {}
+
+    return QPLIBProblem(
+        name=name, ptype=ptype, minimize=minimize, n=n, m=m, H=H, g=g, f=f,
+        A=A, c_l=c_l, c_u=c_u, x_l=x_l, x_u=x_u, x0=x0, y0=y0, z0=z0,
+        infinity=infinity, var_types=var_types, H_c=H_c,
+        x_names=x_names, c_names=c_names,
+    )
+
+
+def load(path: str) -> QPLIBProblem:
+    with open(path) as fh:
+        return loads(fh.read())
+
+
+def read_qp(path: str, dtype=np.float64) -> QP:
+    """Read a QPLIB file straight into a solver-ready QP."""
+    return load(path).to_qp(dtype)
+
+
+# ---------------------------------------------------------------------------
+# Writer (RPD_write_qp_problem_data equivalent) for fixture round-tripping
+# ---------------------------------------------------------------------------
+
+
+def dumps(p: QPLIBProblem) -> str:
+    out: list[str] = [p.name, p.ptype, "Minimize" if p.minimize else "Maximize", str(p.n)]
+    obj_t, var_t, con_t = p.ptype
+    has_constraints = con_t in ("L", "Q")
+    if has_constraints:
+        out.append(str(p.m))
+
+    if obj_t in ("Q", "D", "C"):
+        ij = [(i, j) for i in range(p.n) for j in range(i + 1) if p.H[i, j] != 0.0]
+        out.append(str(len(ij)))
+        out += [f"{i + 1} {j + 1} {float(p.H[i, j])!r}" for i, j in ij]
+
+    def vec(v):
+        vals, counts = np.unique(np.asarray(v), return_counts=True)
+        default = float(vals[np.argmax(counts)]) if len(vals) else 0.0
+        exc = [i for i in range(len(v)) if v[i] != default]
+        out.append(repr(default))
+        out.append(str(len(exc)))
+        out.extend(f"{i + 1} {float(v[i])!r}" for i in exc)
+
+    vec(p.g)
+    out.append(repr(float(p.f)))
+    if con_t == "Q":
+        out.append(str(len(p.H_c)))
+        out += [f"{c + 1} {i + 1} {j + 1} {float(v)!r}" for c, i, j, v in p.H_c]
+    if has_constraints:
+        ij = [(i, j) for i in range(p.m) for j in range(p.n) if p.A[i, j] != 0.0]
+        out.append(str(len(ij)))
+        out += [f"{i + 1} {j + 1} {float(p.A[i, j])!r}" for i, j in ij]
+    out.append(repr(p.infinity))
+    if has_constraints:
+        vec(p.c_l)
+        vec(p.c_u)
+    if con_t != "N":
+        vec(p.x_l)
+        vec(p.x_u)
+    if var_t not in ("C", "B", "I"):
+        vec(p.var_types)
+    vec(p.x0)
+    if has_constraints:
+        vec(p.y0)
+    vec(p.z0)
+    for names in ([p.x_names, p.c_names] if has_constraints else [p.x_names]):
+        out.append(str(len(names)))
+        out += [f"{i + 1} {nm}" for i, nm in sorted(names.items())]
+    return "\n".join(out) + "\n"
+
+
+def dump(p: QPLIBProblem, path: str) -> None:
+    with open(path, "w") as fh:
+        fh.write(dumps(p))

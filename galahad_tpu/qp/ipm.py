@@ -1,0 +1,460 @@
+"""Primal-dual interior-point method for convex QP / LP.
+
+TPU-native re-design of GALAHAD's CQP / LPB / BQPB family
+(reference src/cqp/cqp.f90: CQP_solve :1178, CQP_solve_main :2967;
+src/lpb/lpb.f90; src/bqpb/bqpb.f90).  The algorithm follows the same
+infeasible primal-dual framework (explicit slack variable c with
+two-sided bounds, z = z_l - z_u, y = y_l - y_u conventions, Mehrotra
+predictor-corrector = the reference's Zhang arc at Taylor order 2,
+cqp.f90:194-205) but the mechanics are rebuilt for XLA:
+
+  * no QPP permutation into standard form — bound structure is boolean
+    masks (core/problem.py), so one compiled program serves every
+    problem of a given shape and batches of problems vmap;
+  * the per-iteration KKT system
+        [[H + D_x, A'], [A, -D_c^-1]] [dx; -dy] = [b1; b2]
+    (reference cqp.f90:5950-5955) is solved by the Schur-complement
+    double-Cholesky of linalg/sbls.py — MXU matmuls, no pivoting — with
+    iterative refinement instead of dynamic pivoting;
+  * the whole iteration is a pure jittable function, so the solver runs
+    either as a host loop (single problem, early exit) or under
+    lax.while_loop (vmapped batches, convergence masking).
+
+Higher-order Taylor/Puiseux arcs (series_order up to 5, extra backsolves
+on the same factors, cqp.f90:345-349) are provided by the corrector
+loop (``control.series_order``).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import control as control_dc
+from ..core.problem import INFINITY, QP, BoundMasks, classify_bounds
+from ..core.status import Status
+from ..linalg.sbls import sbls_factorize, sbls_solve
+
+BIG = 1.0e20
+
+
+@control_dc
+class IPMControl:
+    """Mirrors CQP_control_type defaults where meaningful
+    (reference src/cqp/cqp.f90:134-343)."""
+
+    maxit: int = 200
+    stop_abs_p: float = 1.0e-6
+    stop_rel_p: float = 0.0
+    stop_abs_d: float = 1.0e-6
+    stop_rel_d: float = 0.0
+    stop_abs_c: float = 1.0e-6
+    stop_rel_c: float = 0.0
+    prfeas: float = 1.0e2       # min initial distance from primal bounds
+    dufeas: float = 1.0e2       # initial magnitude of dual variables
+    rho: float = 0.0            # primal regularization (0 -> auto shift)
+    delta: float = 1.0e-8       # dual regularization on equality rows
+    refine: int = 2             # iterative-refinement sweeps per solve
+    tau: float = 0.995          # fraction-to-boundary factor
+    series_order: int = 2       # 1 = pure Newton, 2 = Mehrotra PC, 3+ extra correctors
+    mu_min_factor: float = 1.0e-12
+    infinity: float = INFINITY
+    dtype: str = "float64"
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["x", "c", "y", "z_l", "z_u", "y_l", "y_u", "mu",
+                 "iter", "converged", "status",
+                 "res_p", "res_d", "res_c"],
+    meta_fields=[],
+)
+@dataclasses.dataclass
+class IPMState:
+    x: Any
+    c: Any
+    y: Any            # (m,) full multiplier: y_l - y_u on inequality, free on equality
+    z_l: Any
+    z_u: Any
+    y_l: Any
+    y_u: Any
+    mu: Any
+    iter: Any
+    converged: Any
+    status: Any
+    res_p: Any
+    res_d: Any
+    res_c: Any
+
+
+def _safe_div(a, b, mask):
+    return jnp.where(mask, a / jnp.where(mask, b, 1.0), 0.0)
+
+
+def ipm_init(qp: QP, masks: BoundMasks, ctl: IPMControl) -> IPMState:
+    """Strictly interior starting point (reference cqp.f90:242-250: move
+    the user point at least prfeas/dufeas inside the bounds)."""
+    dt = qp.g.dtype
+    n, m = qp.n, qp.m
+    x0 = qp.x if qp.x is not None else jnp.zeros(n, dt)
+
+    def interior(v, lo, hi, has_lo, has_hi, fixed, margin):
+        gap = jnp.where(has_lo & has_hi, hi - lo, jnp.inf)
+        xi = jnp.minimum(margin, 0.4999 * gap)
+        v = jnp.where(has_lo, jnp.maximum(v, lo + xi), v)
+        v = jnp.where(has_hi, jnp.minimum(v, hi - xi), v)
+        return jnp.where(fixed, lo, v)
+
+    margin = jnp.asarray(ctl.prfeas, dt)
+    x = interior(x0, qp.x_l, qp.x_u, masks.has_xl, masks.has_xu,
+                 masks.x_fixed, margin)
+    if m > 0:
+        c0 = qp.A @ x
+        c = interior(c0, qp.c_l, qp.c_u, masks.has_cl, masks.has_cu,
+                     masks.c_equality, margin)
+    else:
+        c = jnp.zeros((0,), dt)
+
+    duf = jnp.asarray(ctl.dufeas, dt)
+    z_l = jnp.where(masks.has_xl & ~masks.x_fixed, duf, 0.0)
+    z_u = jnp.where(masks.has_xu & ~masks.x_fixed, duf, 0.0)
+    y_l = jnp.where(masks.has_cl & ~masks.c_equality, duf, 0.0)
+    y_u = jnp.where(masks.has_cu & ~masks.c_equality, duf, 0.0)
+    y0 = qp.y if qp.y is not None else jnp.zeros(m, dt)
+    y = jnp.where(masks.c_equality, y0, y_l - y_u)
+
+    mu = _avg_complementarity(qp, masks, x, c, z_l, z_u, y_l, y_u)
+    inf = jnp.asarray(jnp.inf, dt)
+    return IPMState(
+        x=x, c=c, y=y, z_l=z_l, z_u=z_u, y_l=y_l, y_u=y_u, mu=mu,
+        iter=jnp.array(0, jnp.int32),
+        converged=jnp.array(False),
+        status=jnp.array(int(Status.MAX_ITERATIONS), jnp.int32),
+        res_p=inf, res_d=inf, res_c=inf,
+    )
+
+
+def _distances(qp: QP, masks: BoundMasks, x, c):
+    s_l = jnp.where(masks.has_xl & ~masks.x_fixed, x - qp.x_l, 1.0)
+    s_u = jnp.where(masks.has_xu & ~masks.x_fixed, qp.x_u - x, 1.0)
+    t_l = jnp.where(masks.has_cl & ~masks.c_equality, c - qp.c_l, 1.0)
+    t_u = jnp.where(masks.has_cu & ~masks.c_equality, qp.c_u - c, 1.0)
+    return s_l, s_u, t_l, t_u
+
+
+def _avg_complementarity(qp, masks, x, c, z_l, z_u, y_l, y_u):
+    s_l, s_u, t_l, t_u = _distances(qp, masks, x, c)
+    ml_x = masks.has_xl & ~masks.x_fixed
+    mu_x = masks.has_xu & ~masks.x_fixed
+    ml_c = masks.has_cl & ~masks.c_equality
+    mu_c = masks.has_cu & ~masks.c_equality
+    total = (
+        jnp.sum(jnp.where(ml_x, z_l * s_l, 0.0))
+        + jnp.sum(jnp.where(mu_x, z_u * s_u, 0.0))
+        + jnp.sum(jnp.where(ml_c, y_l * t_l, 0.0))
+        + jnp.sum(jnp.where(mu_c, y_u * t_u, 0.0))
+    )
+    count = (
+        jnp.sum(ml_x) + jnp.sum(mu_x) + jnp.sum(ml_c) + jnp.sum(mu_c)
+    ).astype(qp.g.dtype)
+    return total / jnp.maximum(count, 1.0)
+
+
+def _residuals(qp: QP, masks: BoundMasks, st: IPMState):
+    """(r_p, r_d, comp) inf-norms for the termination test
+    (componentwise test, reference cqp.f90:4369-4385)."""
+    z = st.z_l - st.z_u
+    r_d = qp.Hx(st.x) + qp.g - z
+    if qp.m > 0:
+        r_d = r_d - qp.A.T @ st.y
+        r_p = qp.A @ st.x - st.c
+    else:
+        r_p = jnp.zeros((0,), qp.g.dtype)
+    r_d = jnp.where(masks.x_fixed, 0.0, r_d)
+    s_l, s_u, t_l, t_u = _distances(qp, masks, st.x, st.c)
+    comp = jnp.maximum(
+        jnp.max(jnp.where(masks.has_xl & ~masks.x_fixed,
+                          jnp.abs(st.z_l * s_l), 0.0), initial=0.0),
+        jnp.max(jnp.where(masks.has_xu & ~masks.x_fixed,
+                          jnp.abs(st.z_u * s_u), 0.0), initial=0.0),
+    )
+    if qp.m > 0:
+        comp = jnp.maximum(
+            comp,
+            jnp.maximum(
+                jnp.max(jnp.where(masks.has_cl & ~masks.c_equality,
+                                  jnp.abs(st.y_l * t_l), 0.0), initial=0.0),
+                jnp.max(jnp.where(masks.has_cu & ~masks.c_equality,
+                                  jnp.abs(st.y_u * t_u), 0.0), initial=0.0),
+            ),
+        )
+    res_p = jnp.max(jnp.abs(r_p), initial=0.0)
+    res_d = jnp.max(jnp.abs(r_d))
+    return res_p, res_d, comp
+
+
+def _fraction_to_boundary(v, dv, mask, tau, dtype):
+    """max alpha <= 1 with v + alpha dv >= (1 - tau) v on masked entries."""
+    neg = mask & (dv < 0)
+    ratio = jnp.where(neg, -tau * v / jnp.where(neg, dv, -1.0), jnp.inf)
+    return jnp.minimum(jnp.asarray(1.0, dtype), jnp.min(ratio, initial=jnp.inf))
+
+
+def ipm_step(qp: QP, masks: BoundMasks, st: IPMState, ctl: IPMControl) -> IPMState:
+    """One predictor-corrector iteration (pure function, jittable).
+
+    Mirrors the body of CQP_solve_main (reference cqp.f90:2967+):
+    barrier Hessian -> KKT factorize -> predictor solve -> corrector
+    solve(s) on the same factors -> step -> update.
+    """
+    dt = qp.g.dtype
+    n, m = qp.n, qp.m
+    tau = jnp.asarray(ctl.tau, dt)
+
+    ml_x = masks.has_xl & ~masks.x_fixed
+    mu_x = masks.has_xu & ~masks.x_fixed
+    ml_c = masks.has_cl & ~masks.c_equality
+    mu_c = masks.has_cu & ~masks.c_equality
+
+    s_l, s_u, t_l, t_u = _distances(qp, masks, st.x, st.c)
+    z = st.z_l - st.z_u
+
+    # --- barrier (primal-dual) diagonal terms (cqp.f90:4726-4740) ---
+    D_x = (
+        jnp.where(ml_x, st.z_l / s_l, 0.0)
+        + jnp.where(mu_x, st.z_u / s_u, 0.0)
+        + jnp.where(masks.x_fixed, BIG, 0.0)
+    )
+    if m > 0:
+        D_c = jnp.where(ml_c, st.y_l / t_l, 0.0) + jnp.where(mu_c, st.y_u / t_u, 0.0)
+        # (2,2) block of the augmented system: C = D_c^{-1}; equality rows 0,
+        # vacuous (free) rows effectively infinite.
+        C_diag = jnp.where(
+            masks.c_equality, 0.0,
+            jnp.where(masks.c_free, BIG, 1.0 / jnp.maximum(D_c, 1.0 / BIG)),
+        )
+    else:
+        D_c = jnp.zeros((0,), dt)
+        C_diag = jnp.zeros((0,), dt)
+
+    # --- assemble & factorize (SBLS_form_and_factorize, cqp.f90:4781) ---
+    diag_G = qp.h_kind in ("zero", "diagonal", "identity", "scaled_identity")
+    if diag_G:
+        G = qp.H_diag() + D_x
+        apply_G = lambda v: G * v
+    else:
+        G = qp.H + jnp.diag(D_x)
+        apply_G = lambda v: G @ v
+
+    if m > 0:
+        f = sbls_factorize(
+            G, qp.A, C_diag, g_is_diag=diag_G,
+            rho=ctl.rho, delta=ctl.delta,
+        )
+
+        def kkt_solve(b1, b2):
+            dx, v = sbls_solve(f, b1, b2, apply_G=apply_G, refine=ctl.refine)
+            return dx, -v  # system was in terms of -dy
+    else:
+        from ..linalg.cholesky import chol_factor_shifted, chol_solve
+
+        if diag_G:
+            def kkt_solve(b1, b2):
+                return b1 / G, b2
+        else:
+            L, _, _ = chol_factor_shifted(G, ctl.rho)
+
+            def kkt_solve(b1, b2):
+                return chol_solve(L, b1), b2
+
+    # --- residuals ---
+    r_d = qp.Hx(st.x) + qp.g - z
+    if m > 0:
+        r_d = r_d - qp.A.T @ st.y
+        r_p = qp.A @ st.x - st.c
+    else:
+        r_p = jnp.zeros((0,), dt)
+    r_d = jnp.where(masks.x_fixed, 0.0, r_d)
+
+    def solve_direction(mu_target, corr):
+        """Newton direction for target complementarity mu_target with
+        second-order correction terms ``corr`` (dicts of products)."""
+        r_cl = jnp.where(ml_x, mu_target - st.z_l * s_l - corr["xl"], 0.0)
+        r_cu = jnp.where(mu_x, mu_target - st.z_u * s_u - corr["xu"], 0.0)
+        b1 = -r_d + _safe_div(r_cl, s_l, ml_x) - _safe_div(r_cu, s_u, mu_x)
+        b1 = jnp.where(masks.x_fixed, 0.0, b1)
+        if m > 0:
+            r_tl = jnp.where(ml_c, mu_target - st.y_l * t_l - corr["cl"], 0.0)
+            r_tu = jnp.where(mu_c, mu_target - st.y_u * t_u - corr["cu"], 0.0)
+            w = _safe_div(r_tl, t_l, ml_c) - _safe_div(r_tu, t_u, mu_c)
+            b2 = jnp.where(
+                masks.c_free, 0.0,
+                -r_p + jnp.where(masks.c_equality, 0.0, w * C_diag),
+            )
+            dx, dy = kkt_solve(b1, b2)
+            dc = qp.A @ dx + r_p
+            dy_l = _safe_div(r_tl - st.y_l * dc, t_l, ml_c)
+            dy_u = _safe_div(r_tu + st.y_u * dc, t_u, mu_c)
+        else:
+            dx, _ = kkt_solve(b1, jnp.zeros((0,), dt))
+            dc = jnp.zeros((0,), dt)
+            dy = jnp.zeros((0,), dt)
+            dy_l = dy_u = dc
+        dz_l = _safe_div(r_cl - st.z_l * dx, s_l, ml_x)
+        dz_u = _safe_div(r_cu + st.z_u * dx, s_u, mu_x)
+        dx = jnp.where(masks.x_fixed, 0.0, dx)
+        return dict(dx=dx, dc=dc, dy=dy, dz_l=dz_l, dz_u=dz_u,
+                    dy_l=dy_l, dy_u=dy_u)
+
+    zero_corr = dict(xl=0.0, xu=0.0, cl=0.0, cu=0.0)
+
+    # --- predictor (affine-scaling, mu = 0) ---
+    aff = solve_direction(jnp.asarray(0.0, dt), zero_corr)
+    a_p_aff, a_d_aff = _step_lengths(
+        masks, s_l, s_u, t_l, t_u, st, aff, tau, dt, ml_x, mu_x, ml_c, mu_c
+    )
+    mu_now = _avg_complementarity(qp, masks, st.x, st.c,
+                                  st.z_l, st.z_u, st.y_l, st.y_u)
+
+    if ctl.series_order >= 2:
+        # complementarity attained by the affine step -> centering sigma
+        mu_aff = _avg_complementarity(
+            qp, masks,
+            st.x + a_p_aff * aff["dx"], st.c + a_p_aff * aff["dc"],
+            st.z_l + a_d_aff * aff["dz_l"], st.z_u + a_d_aff * aff["dz_u"],
+            st.y_l + a_d_aff * aff["dy_l"], st.y_u + a_d_aff * aff["dy_u"],
+        )
+        sigma = (mu_aff / jnp.maximum(mu_now, 1e-30)) ** 3
+        sigma = jnp.clip(sigma, 1e-4, 1.0 - 1e-4)
+        d = aff
+        for _ in range(ctl.series_order - 1):
+            corr = dict(
+                xl=d["dz_l"] * d["dx"],
+                xu=-d["dz_u"] * d["dx"],
+                cl=d["dy_l"] * d["dc"],
+                cu=-d["dy_u"] * d["dc"],
+            )
+            d = solve_direction(sigma * mu_now, corr)
+    else:
+        d = aff
+
+    a_p, a_d = _step_lengths(
+        masks, s_l, s_u, t_l, t_u, st, d, tau, dt, ml_x, mu_x, ml_c, mu_c
+    )
+
+    # --- update ---
+    x = st.x + a_p * d["dx"]
+    c = st.c + a_p * d["dc"]
+    z_l = jnp.where(ml_x, st.z_l + a_d * d["dz_l"], 0.0)
+    z_u = jnp.where(mu_x, st.z_u + a_d * d["dz_u"], 0.0)
+    y_l = jnp.where(ml_c, st.y_l + a_d * d["dy_l"], 0.0)
+    y_u = jnp.where(mu_c, st.y_u + a_d * d["dy_u"], 0.0)
+    y = jnp.where(masks.c_equality, st.y + a_d * d["dy"], y_l - y_u)
+
+    new = dataclasses.replace(
+        st, x=x, c=c, y=y, z_l=z_l, z_u=z_u, y_l=y_l, y_u=y_u,
+        mu=_avg_complementarity(qp, masks, x, c, z_l, z_u, y_l, y_u),
+        iter=st.iter + 1,
+    )
+    res_p, res_d, res_c = _residuals(qp, masks, new)
+    conv = (
+        (res_p <= ctl.stop_abs_p)
+        & (res_d <= ctl.stop_abs_d)
+        & (res_c <= ctl.stop_abs_c)
+    )
+    return dataclasses.replace(
+        new,
+        res_p=res_p, res_d=res_d, res_c=res_c,
+        converged=conv,
+        status=jnp.where(conv, int(Status.OK), new.status).astype(jnp.int32),
+    )
+
+
+def _step_lengths(masks, s_l, s_u, t_l, t_u, st, d, tau, dt,
+                  ml_x, mu_x, ml_c, mu_c):
+    a_p = jnp.minimum(
+        _fraction_to_boundary(s_l, d["dx"], ml_x, tau, dt),
+        _fraction_to_boundary(s_u, -d["dx"], mu_x, tau, dt),
+    )
+    if st.c.shape[-1] > 0:
+        a_p = jnp.minimum(
+            a_p,
+            jnp.minimum(
+                _fraction_to_boundary(t_l, d["dc"], ml_c, tau, dt),
+                _fraction_to_boundary(t_u, -d["dc"], mu_c, tau, dt),
+            ),
+        )
+    a_d = jnp.minimum(
+        _fraction_to_boundary(st.z_l, d["dz_l"], ml_x, tau, dt),
+        _fraction_to_boundary(st.z_u, d["dz_u"], mu_x, tau, dt),
+    )
+    if st.c.shape[-1] > 0:
+        a_d = jnp.minimum(
+            a_d,
+            jnp.minimum(
+                _fraction_to_boundary(st.y_l, d["dy_l"], ml_c, tau, dt),
+                _fraction_to_boundary(st.y_u, d["dy_u"], mu_c, tau, dt),
+            ),
+        )
+    return a_p, a_d
+
+
+# ---------------------------------------------------------------------------
+# Drivers
+# ---------------------------------------------------------------------------
+
+
+def extract_solution(qp: QP, masks: BoundMasks, st: IPMState):
+    """Final (x, y, z): bound dual z from z_l - z_u; fixed variables get
+    the exact dual residual as their multiplier (the reference eliminates
+    fixed variables in QPP and recovers z the same way on restore)."""
+    z = st.z_l - st.z_u
+    r = qp.Hx(st.x) + qp.g
+    if qp.m > 0:
+        r = r - qp.A.T @ st.y
+    z = jnp.where(masks.x_fixed, r, z)
+    return st.x, st.y, z
+
+
+@partial(jax.jit, static_argnames=("ctl", "h_kind"))
+def _jitted_step(qp: QP, masks: BoundMasks, st: IPMState, ctl: IPMControl,
+                 h_kind: str):
+    return ipm_step(qp, masks, st, ctl)
+
+
+def ipm_solve(qp: QP, ctl: IPMControl = IPMControl()):
+    """Host-loop driver (single problem, early exit).
+
+    Returns (x, y, z, state) — state carries status/iterations/residuals
+    (the inform contract, reference cqp.f90:484-575).
+    """
+    masks = classify_bounds(qp, ctl.infinity)
+    st = ipm_init(qp, masks, ctl)
+    qp = dataclasses.replace(qp, name="")   # avoid per-name recompilation
+    for _ in range(ctl.maxit):
+        st = _jitted_step(qp, masks, st, ctl, qp.h_kind)
+        if bool(st.converged):
+            break
+    x, y, z = extract_solution(qp, masks, st)
+    return x, y, z, st
+
+
+def ipm_solve_compiled(qp: QP, ctl: IPMControl = IPMControl()):
+    """Fully-compiled driver: lax.while_loop, suitable for vmap/shard_map
+    over batches of same-shape problems (SURVEY §5.7: the batched-
+    subproblem axis is the TPU headline win)."""
+    masks = classify_bounds(qp, ctl.infinity)
+    st0 = ipm_init(qp, masks, ctl)
+
+    def cond(st):
+        return (~st.converged) & (st.iter < ctl.maxit)
+
+    def body(st):
+        return ipm_step(qp, masks, st, ctl)
+
+    st = jax.lax.while_loop(cond, body, st0)
+    x, y, z = extract_solution(qp, masks, st)
+    return x, y, z, st

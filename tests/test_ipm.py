@@ -1,0 +1,213 @@
+"""Interior-point QP/LP solver tests (CQP/LPB/BQPB equivalents).
+
+Numerical-contract style (SURVEY §4): objective values, KKT residuals and
+status codes on the committed reference fixtures, plus randomized QPs
+verified against KKT conditions / scipy reference solves.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from galahad_tpu.core.problem import INFINITY, QP
+from galahad_tpu.core.residuals import kkt_residuals
+from galahad_tpu.core.status import Status
+from galahad_tpu.io import qplib
+from galahad_tpu.qp.ipm import IPMControl, ipm_solve, ipm_solve_compiled
+
+EX = "/root/reference/examples"
+TOL = 1e-6
+
+
+def assert_kkt(qp, x, y, z, tol=5e-6):
+    rp, rd, rc = kkt_residuals(qp, x, y, z)
+    assert float(rp) < tol, f"primal {float(rp)}"
+    assert float(rd) < tol, f"dual {float(rd)}"
+    assert float(rc) < tol, f"comp {float(rc)}"
+
+
+class TestFixtures:
+    """The reference regression records (src/cqp/cqpds.output etc.) pin
+    fixture objectives; we assert the same optimality via KKT residuals
+    plus known objective values."""
+
+    def test_lpband(self):
+        qp = qplib.read_qp(f"{EX}/LPBAND.qplib")
+        x, y, z, st = ipm_solve(qp)
+        assert int(st.status) == int(Status.OK)
+        assert_kkt(qp, x, y, z)
+        assert float(qp.objective(x)) == pytest.approx(-6.0, abs=1e-5)
+
+    def test_qpband(self):
+        qp = qplib.read_qp(f"{EX}/QPBAND.qplib")
+        x, y, z, st = ipm_solve(qp)
+        assert int(st.status) == int(Status.OK)
+        assert_kkt(qp, x, y, z)
+
+    def test_bqpband(self):
+        qp = qplib.read_qp(f"{EX}/BQPBAND.qplib")
+        x, y, z, st = ipm_solve(qp)
+        assert int(st.status) == int(Status.OK)
+        assert_kkt(qp, x, y, z)
+
+    def test_qpband_compiled_matches_host(self):
+        qp = qplib.read_qp(f"{EX}/QPBAND.qplib")
+        x1, _, _, st1 = ipm_solve(qp)
+        x2, _, _, st2 = ipm_solve_compiled(qp)
+        assert bool(st2.converged)
+        np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), atol=1e-6)
+
+
+def random_convex_qp(n, m, seed, equalities=0, lp=False):
+    r = np.random.default_rng(seed)
+    if lp:
+        H, kind = None, "zero"
+    else:
+        B = r.normal(size=(n, n))
+        H, kind = jnp.asarray(B @ B.T + 0.5 * np.eye(n)), "dense"
+    A = r.normal(size=(m, n))
+    x_feas = r.uniform(0.2, 0.8, size=n)
+    c_at = A @ x_feas
+    c_l = np.where(np.arange(m) < equalities, c_at, c_at - r.uniform(0.5, 1.0, m))
+    c_u = np.where(np.arange(m) < equalities, c_at, c_at + r.uniform(0.5, 1.0, m))
+    return QP(
+        H=H, h_kind=kind,
+        g=jnp.asarray(r.normal(size=n)),
+        A=jnp.asarray(A),
+        c_l=jnp.asarray(c_l), c_u=jnp.asarray(c_u),
+        x_l=jnp.zeros(n), x_u=jnp.ones(n),
+    )
+
+
+class TestRandomQP:
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_inequality_qp(self, seed):
+        qp = random_convex_qp(10, 6, seed)
+        x, y, z, st = ipm_solve(qp)
+        assert int(st.status) == int(Status.OK)
+        assert_kkt(qp, x, y, z)
+
+    @pytest.mark.parametrize("seed", [3, 4])
+    def test_with_equalities(self, seed):
+        qp = random_convex_qp(10, 6, seed, equalities=3)
+        x, y, z, st = ipm_solve(qp)
+        assert int(st.status) == int(Status.OK)
+        assert_kkt(qp, x, y, z)
+        # equality rows satisfied tightly
+        c = np.asarray(qp.A @ x)
+        np.testing.assert_allclose(c[:3], np.asarray(qp.c_l)[:3], atol=5e-6)
+
+    def test_lp(self):
+        qp = random_convex_qp(8, 5, 7, lp=True)
+        x, y, z, st = ipm_solve(qp)
+        assert int(st.status) == int(Status.OK)
+        assert_kkt(qp, x, y, z)
+
+    def test_vs_scipy(self):
+        # unconstrained-in-x beyond bounds: compare against scipy reference
+        from scipy.optimize import linprog
+
+        qp = random_convex_qp(8, 5, 11, lp=True)
+        x, y, z, st = ipm_solve(qp)
+        res = linprog(
+            np.asarray(qp.g),
+            A_ub=np.vstack([np.asarray(qp.A), -np.asarray(qp.A)]),
+            b_ub=np.concatenate([np.asarray(qp.c_u), -np.asarray(qp.c_l)]),
+            bounds=[(0.0, 1.0)] * qp.n,
+            method="highs",
+        )
+        assert res.success
+        assert float(qp.objective(x)) == pytest.approx(res.fun, abs=1e-5)
+
+
+class TestStructuredCases:
+    def test_fixed_variables(self):
+        n = 6
+        x_l = jnp.array([0.0, 0.5, 0.0, 0.0, 0.0, 0.0])
+        x_u = jnp.array([1.0, 0.5, 1.0, 1.0, 1.0, 1.0])  # x[1] fixed at 0.5
+        qp = QP(
+            H=jnp.eye(n), g=-jnp.ones(n),
+            A=jnp.ones((1, n)), c_l=jnp.array([-INFINITY]),
+            c_u=jnp.array([2.0]), x_l=x_l, x_u=x_u,
+        )
+        x, y, z, st = ipm_solve(qp)
+        assert int(st.status) == int(Status.OK)
+        assert float(x[1]) == pytest.approx(0.5, abs=1e-9)
+        assert_kkt(qp, x, y, z)
+
+    def test_free_variables(self):
+        # min 1/2||x||^2 + g'x with free x and one equality: analytic solution
+        n = 5
+        r = np.random.default_rng(13)
+        g = r.normal(size=n)
+        a = r.normal(size=(1, n))
+        b = 1.3
+        qp = QP(
+            H=jnp.eye(n), g=jnp.asarray(g),
+            A=jnp.asarray(a), c_l=jnp.array([b]), c_u=jnp.array([b]),
+            x_l=jnp.full(n, -INFINITY), x_u=jnp.full(n, INFINITY),
+        )
+        x, y, z, st = ipm_solve(qp)
+        assert int(st.status) == int(Status.OK)
+        # KKT: x + g - a'y = 0, a x = b  ->  y = (b + a g')/(a a')
+        ystar = float((b + a @ g) / (a @ a.T))
+        xstar = a.ravel() * ystar - g
+        np.testing.assert_allclose(np.asarray(x), xstar, atol=1e-6)
+
+    def test_free_constraint_rows(self):
+        qp = QP(
+            H=jnp.eye(3), g=-jnp.ones(3),
+            A=jnp.ones((2, 3)),
+            c_l=jnp.array([-INFINITY, -INFINITY]),
+            c_u=jnp.array([INFINITY, INFINITY]),   # vacuous rows
+            x_l=jnp.zeros(3), x_u=jnp.full(3, 10.0),
+        )
+        x, y, z, st = ipm_solve(qp)
+        assert int(st.status) == int(Status.OK)
+        np.testing.assert_allclose(np.asarray(x), np.ones(3), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(y), np.zeros(2), atol=1e-5)
+
+    def test_diagonal_h(self):
+        qp = QP(
+            H=jnp.array([1.0, 2.0, 3.0]), h_kind="diagonal",
+            g=jnp.array([-1.0, -2.0, -3.0]),
+            A=jnp.zeros((0, 3)), c_l=jnp.zeros(0), c_u=jnp.zeros(0),
+            x_l=jnp.zeros(3), x_u=jnp.full(3, 10.0),
+        )
+        x, y, z, st = ipm_solve(qp)
+        assert int(st.status) == int(Status.OK)
+        np.testing.assert_allclose(np.asarray(x), np.ones(3), atol=1e-6)
+
+    def test_maxit_status(self):
+        qp = random_convex_qp(8, 4, 17)
+        import dataclasses
+
+        ctl = IPMControl(maxit=1)
+        x, y, z, st = ipm_solve(qp, ctl)
+        assert int(st.status) == int(Status.MAX_ITERATIONS)
+
+
+class TestBatched:
+    def test_vmapped_solve(self):
+        """Thousands-of-subproblems axis (SURVEY §5.7): same-structure QPs
+        with different data solved in one compiled program."""
+        n, m, batch = 6, 3, 8
+        qps = [random_convex_qp(n, m, 100 + s) for s in range(batch)]
+        Hs = jnp.stack([q.H for q in qps])
+        gs = jnp.stack([q.g for q in qps])
+        As = jnp.stack([q.A for q in qps])
+        cls_ = jnp.stack([q.c_l for q in qps])
+        cus = jnp.stack([q.c_u for q in qps])
+
+        def solve_one(H, g, A, c_l, c_u):
+            qp = QP(H=H, g=g, A=A, c_l=c_l, c_u=c_u,
+                    x_l=jnp.zeros(n), x_u=jnp.ones(n))
+            x, y, z, st = ipm_solve_compiled(qp, IPMControl(maxit=50))
+            return x, st.converged
+
+        xs, conv = jax.jit(jax.vmap(solve_one))(Hs, gs, As, cls_, cus)
+        assert bool(jnp.all(conv))
+        for s in range(batch):
+            x_ref, _, _, _ = ipm_solve(qps[s])
+            np.testing.assert_allclose(np.asarray(xs[s]), np.asarray(x_ref),
+                                       atol=1e-5)

@@ -1,0 +1,63 @@
+"""QPLIB reader/writer tests against the reference fixture files
+(reference examples/*.qplib; format at examples/QPBAND.qplib:1-15,
+reader contract src/rpd/rpd.f90:352, writer :1254)."""
+import numpy as np
+import pytest
+
+from galahad_tpu.io import qplib
+
+EX = "/root/reference/examples"
+
+
+class TestRead:
+    def test_qpband(self):
+        p = qplib.load(f"{EX}/QPBAND.qplib")
+        assert p.name == "QPBAND"
+        assert p.ptype == "QCL"
+        assert p.minimize and p.n == 5 and p.m == 2
+        # tridiagonal H: 2 on diag, -1 off
+        assert p.H[0, 0] == 2.0 and p.H[1, 0] == -1.0 and p.H[0, 1] == -1.0
+        assert np.allclose(p.g, [-0.2, -0.4, -0.6, -0.8, -1.0])
+        assert p.A[0, 0] == 1.0 and p.A[0, 2] == 1.0 and p.A[1, 3] == 1.0
+        assert np.all(p.c_l == 1.0)
+        assert np.all(p.c_u >= p.infinity)
+        assert np.all(p.x_u == 2.0)
+
+    def test_lpband_is_lp(self):
+        p = qplib.load(f"{EX}/LPBAND.qplib")
+        assert p.ptype[0] == "L"
+        assert np.all(p.H == 0)
+        qp = p.to_qp()
+        assert qp.h_kind == "zero"
+
+    def test_bqpband_box_only(self):
+        p = qplib.load(f"{EX}/BQPBAND.qplib")
+        assert p.ptype == "QCB"
+        assert p.m == 0
+        qp = p.to_qp()
+        assert qp.m == 0
+
+    def test_allinit_qcqp(self):
+        p = qplib.load(f"{EX}/ALLINIT.qplib")
+        assert p.ptype == "QGQ"
+        assert len(p.H_c) == 1
+        assert p.var_types.tolist() == [0, 0, 0, 1, 2]
+        with pytest.raises(NotImplementedError):
+            p.to_qp()
+
+    def test_infinity_mapping(self):
+        qp = qplib.read_qp(f"{EX}/QPBAND.qplib")
+        from galahad_tpu.core.problem import INFINITY
+
+        assert float(qp.c_u[0]) == INFINITY
+
+
+class TestRoundtrip:
+    @pytest.mark.parametrize("name", ["QPBAND", "LPBAND", "BQPBAND"])
+    def test_dump_load(self, name):
+        p = qplib.load(f"{EX}/{name}.qplib")
+        q = qplib.loads(qplib.dumps(p))
+        assert q.name == p.name and q.ptype == p.ptype
+        for attr in ["H", "g", "A", "c_l", "c_u", "x_l", "x_u", "x0", "y0", "z0"]:
+            np.testing.assert_allclose(getattr(q, attr), getattr(p, attr))
+        assert q.f == p.f and q.infinity == p.infinity
