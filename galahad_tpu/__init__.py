@@ -9,5 +9,27 @@ parallelism.
 """
 __version__ = "0.1.0"
 
+import os as _os
+
+import jax as _jax
+
+# Solver iterations are large jitted programs; persistent compilation
+# caching is a large UX win (especially for repeated CLI/benchmark runs).
+# Opt out with GALAHAD_TPU_NO_COMPILE_CACHE=1 or by pre-setting
+# JAX_COMPILATION_CACHE_DIR.
+if not _os.environ.get("GALAHAD_TPU_NO_COMPILE_CACHE"):
+    try:
+        if not _jax.config.jax_compilation_cache_dir:
+            _jax.config.update(
+                "jax_compilation_cache_dir",
+                _os.environ.get(
+                    "JAX_COMPILATION_CACHE_DIR",
+                    _os.path.expanduser("~/.cache/galahad_tpu/jax"),
+                ),
+            )
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
 from .core.problem import QP, NLP, INFINITY, classify_bounds  # noqa: F401
 from .core.status import Status  # noqa: F401

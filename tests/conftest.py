@@ -1,13 +1,19 @@
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.setdefault(
-    "XLA_FLAGS",
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8",
+# Tests always run on the host platform with 8 virtual devices: x64 is
+# available there, the sharding tests need a mesh, and the TPU tunnel is
+# reserved for benchmarks (bench.py).  Force (not setdefault): the
+# environment may pre-set JAX_PLATFORMS to the tunnel backend.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
 
 import jax  # noqa: E402
 
+# The environment may register a TPU-tunnel backend via sitecustomize and
+# pin it through jax config (overriding JAX_PLATFORMS); force host cpu.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 # Persistent compile cache: the suite is dominated by XLA compilation of
 # the jitted solvers; cache across runs.

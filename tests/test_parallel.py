@@ -1,0 +1,79 @@
+"""Multi-device scale-out tests on the 8-device host-platform mesh
+(conftest sets xla_force_host_platform_device_count=8).
+
+The reference has no distributed backend (SURVEY §5.8); these tests pin
+the new capability: batch-sharded solves agree with single-device
+solves, and model-sharded KKT iterations compile + execute.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from galahad_tpu.parallel import batch_ipm_solve, make_mesh, model_sharded_step
+from galahad_tpu.qp.ipm import IPMControl, ipm_solve
+
+from test_ipm import random_convex_qp
+
+
+@pytest.fixture(scope="module")
+def stacked_qps():
+    n, m, batch = 6, 3, 8
+    qps = [random_convex_qp(n, m, 200 + s) for s in range(batch)]
+    cols = (
+        jnp.stack([q.H for q in qps]),
+        jnp.stack([q.g for q in qps]),
+        jnp.stack([q.A for q in qps]),
+        jnp.stack([q.c_l for q in qps]),
+        jnp.stack([q.c_u for q in qps]),
+        jnp.stack([q.x_l for q in qps]),
+        jnp.stack([q.x_u for q in qps]),
+    )
+    return qps, cols
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(8, batch=4)
+    assert mesh.shape == {"batch": 4, "model": 2}
+
+
+def test_batch_sharded_matches_single(stacked_qps):
+    qps, cols = stacked_qps
+    mesh = make_mesh(8, batch=8)
+    xs, ys, zs, st = batch_ipm_solve(*cols, ctl=IPMControl(maxit=60), mesh=mesh)
+    assert bool(jnp.all(st.converged))
+    for i, qp in enumerate(qps):
+        x_ref, _, _, _ = ipm_solve(qp)
+        np.testing.assert_allclose(np.asarray(xs[i]), np.asarray(x_ref),
+                                   atol=1e-5)
+
+
+def test_model_sharded_step_executes():
+    mesh = make_mesh(8, batch=1)
+    n, m = 32, 16
+    r = np.random.default_rng(5)
+    B = r.normal(size=(n, n))
+    H = jnp.asarray(B @ B.T + np.eye(n))
+    A = jnp.asarray(r.normal(size=(m, n)))
+    x_feas = r.uniform(0.2, 0.8, size=n)
+    c_at = np.asarray(A) @ x_feas
+    args = (H, jnp.asarray(r.normal(size=n)), A,
+            jnp.asarray(c_at - 1.0), jnp.asarray(c_at + 1.0),
+            jnp.zeros(n), jnp.ones(n))
+    st = model_sharded_step(args, mesh)
+    assert st.x.shape == (n,)
+    assert np.isfinite(float(st.res_d))
+
+
+def test_graft_entry_single_and_multichip():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry", "/root/repo/__graft_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    fn, args = mod.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)
+    mod.dryrun_multichip(8)
