@@ -1,0 +1,208 @@
+"""NLP solver tests (TRU/TRB/ARC/NLS equivalents).
+
+Contract: converge to known minimizers of classic test functions
+(Rosenbrock, quartics, bound-constrained variants), status codes, and
+vmap-ability — the batched-minimization axis the reference lacks.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from galahad_tpu.core.status import Status
+from galahad_tpu.nlp import (
+    ARCControl,
+    NLSControl,
+    TRBControl,
+    TRUControl,
+    arc_solve,
+    nls_solve,
+    trb_solve,
+    tru_solve,
+)
+
+
+def rosenbrock(x):
+    return jnp.sum(100.0 * (x[1:] - x[:-1] ** 2) ** 2 + (1.0 - x[:-1]) ** 2)
+
+
+def quadratic(x):
+    d = jnp.arange(1, x.shape[0] + 1, dtype=x.dtype)
+    return 0.5 * jnp.sum(d * x * x) + jnp.sum(x)
+
+
+class TestTRU:
+    def test_rosenbrock_direct(self):
+        st = tru_solve(rosenbrock, jnp.full(4, -1.2))
+        assert int(st.status) == int(Status.OK)
+        np.testing.assert_allclose(np.asarray(st.x), np.ones(4), atol=1e-5)
+
+    def test_rosenbrock_iterative(self):
+        st = tru_solve(rosenbrock, jnp.full(6, -1.2),
+                       TRUControl(subproblem_direct=False))
+        assert int(st.status) == int(Status.OK)
+        np.testing.assert_allclose(np.asarray(st.x), np.ones(6), atol=1e-4)
+
+    def test_quadratic_one_step(self):
+        """On a convex quadratic the first unrestricted TR step is exact."""
+        st = tru_solve(quadratic, jnp.zeros(5))
+        assert int(st.status) == int(Status.OK)
+        d = np.arange(1, 6, dtype=float)
+        np.testing.assert_allclose(np.asarray(st.x), -1.0 / d, atol=1e-8)
+        assert int(st.iter) <= 2
+
+    def test_nonconvex_start(self):
+        """Start where the Hessian is indefinite; must still converge."""
+
+        def f(x):
+            return jnp.sum(x**4 - 2.0 * x**2 + 0.5 * x)
+
+        st = tru_solve(f, jnp.zeros(3))
+        assert int(st.status) == int(Status.OK)
+        assert float(st.norm_g) < 1e-4
+
+    def test_maxit(self):
+        st = tru_solve(rosenbrock, jnp.full(10, -1.2), TRUControl(maxit=2))
+        assert int(st.status) == int(Status.MAX_ITERATIONS)
+
+    def test_vmapped(self):
+        """Batch of starts minimized in one compiled program.  4-d
+        Rosenbrock has a second local minimizer (x1 ~ -0.776), so assert
+        stationarity rather than the global point."""
+        starts = jnp.asarray(np.random.default_rng(0).normal(size=(8, 4)))
+        sts = jax.jit(jax.vmap(lambda x0: tru_solve(rosenbrock, x0)))(starts)
+        assert bool(jnp.all(sts.converged))
+        assert float(jnp.max(sts.norm_g)) < 1e-4
+        # each solution is a genuine local min: Hessian PSD there
+        Hs = jax.vmap(jax.hessian(rosenbrock))(sts.x)
+        for i in range(8):
+            w = np.linalg.eigvalsh(np.asarray(Hs[i]))
+            assert w[0] > -1e-6
+
+
+class TestTRB:
+    def test_bounds_inactive(self):
+        """With wide bounds TRB must find the unconstrained minimizer."""
+        st = trb_solve(rosenbrock, jnp.full(4, -1.2),
+                       jnp.full(4, -10.0), jnp.full(4, 10.0))
+        assert int(st.status) == int(Status.OK)
+        np.testing.assert_allclose(np.asarray(st.x), np.ones(4), atol=1e-4)
+
+    def test_bounds_active(self):
+        """min sum((x - 2)^2) on [0,1]^n: solution at the upper bound."""
+
+        def f(x):
+            return jnp.sum((x - 2.0) ** 2)
+
+        st = trb_solve(f, jnp.full(5, 0.5), jnp.zeros(5), jnp.ones(5))
+        assert int(st.status) == int(Status.OK)
+        np.testing.assert_allclose(np.asarray(st.x), np.ones(5), atol=1e-6)
+
+    def test_mixed_active(self):
+        """Quadratic with some bounds active, some free; KKT check."""
+        r = np.random.default_rng(3)
+        n = 6
+        B = r.normal(size=(n, n))
+        H = jnp.asarray(B @ B.T + n * np.eye(n))
+        g = jnp.asarray(r.normal(size=n) * 5.0)
+
+        def f(x):
+            return 0.5 * x @ (H @ x) + g @ x
+
+        lo, hi = jnp.full(n, -0.5), jnp.full(n, 0.5)
+        st = trb_solve(f, jnp.zeros(n), lo, hi)
+        assert int(st.status) == int(Status.OK)
+        x = np.asarray(st.x)
+        grad = np.asarray(H) @ x + np.asarray(g)
+        for i in range(n):
+            if x[i] <= -0.5 + 1e-8:
+                assert grad[i] >= -1e-5
+            elif x[i] >= 0.5 - 1e-8:
+                assert grad[i] <= 1e-5
+            else:
+                assert abs(grad[i]) < 1e-4
+
+    def test_infeasible_start_projected(self):
+        def f(x):
+            return jnp.sum(x**2)
+
+        st = trb_solve(f, jnp.full(3, 9.0), jnp.ones(3), jnp.full(3, 2.0))
+        assert int(st.status) == int(Status.OK)
+        np.testing.assert_allclose(np.asarray(st.x), np.ones(3), atol=1e-6)
+
+
+class TestARC:
+    def test_rosenbrock_direct(self):
+        st = arc_solve(rosenbrock, jnp.full(4, -1.2))
+        assert int(st.status) == int(Status.OK)
+        np.testing.assert_allclose(np.asarray(st.x), np.ones(4), atol=1e-5)
+
+    def test_rosenbrock_iterative(self):
+        st = arc_solve(rosenbrock, jnp.full(4, -1.2),
+                       ARCControl(subproblem_direct=False))
+        assert int(st.status) == int(Status.OK)
+        np.testing.assert_allclose(np.asarray(st.x), np.ones(4), atol=1e-4)
+
+    def test_nonconvex(self):
+        def f(x):
+            return jnp.sum(x**4 - 8.0 * x**2 + x)
+
+        st = arc_solve(f, jnp.full(3, 0.1))
+        assert int(st.status) == int(Status.OK)
+        assert float(st.norm_g) < 1e-4
+
+
+class TestNLS:
+    def test_zero_residual(self):
+        """Rosenbrock as least squares: residuals vanish at x* = 1."""
+
+        def res(x):
+            return jnp.concatenate(
+                [10.0 * (x[1:] - x[:-1] ** 2), 1.0 - x[:-1]]
+            )
+
+        st = nls_solve(res, jnp.full(4, -1.2))
+        assert int(st.status) == int(Status.OK)
+        np.testing.assert_allclose(np.asarray(st.x), np.ones(4), atol=1e-5)
+
+    def test_nonzero_residual_newton(self):
+        """Overdetermined linear fit: NLS == lstsq solution."""
+        r = np.random.default_rng(5)
+        A = r.normal(size=(12, 4))
+        b = r.normal(size=12)
+
+        def res(x):
+            return jnp.asarray(A) @ x - jnp.asarray(b)
+
+        st = nls_solve(res, jnp.zeros(4), NLSControl(model="newton"))
+        assert int(st.status) == int(Status.OK)
+        xstar, *_ = np.linalg.lstsq(A, b, rcond=None)
+        np.testing.assert_allclose(np.asarray(st.x), xstar, atol=1e-6)
+
+    def test_exponential_fit(self):
+        """Classic data-fitting: y = a*exp(b*t) with noise-free data."""
+        t = np.linspace(0, 1, 20)
+        y = 2.0 * np.exp(-1.5 * t)
+
+        def res(x):
+            return x[0] * jnp.exp(x[1] * jnp.asarray(t)) - jnp.asarray(y)
+
+        st = nls_solve(res, jnp.array([1.0, 0.0]))
+        assert int(st.status) == int(Status.OK)
+        np.testing.assert_allclose(np.asarray(st.x), [2.0, -1.5], atol=1e-5)
+
+
+class TestTRUQuasiNewton:
+    def test_lbfgs_rosenbrock(self):
+        st = tru_solve(rosenbrock, jnp.full(4, -1.2),
+                       TRUControl(model="bfgs", maxit=200,
+                                  stop_g_absolute=1e-5))
+        assert int(st.status) == int(Status.OK)
+        assert float(st.norm_g) < 1e-4
+
+    def test_sr1_quadratic(self):
+        st = tru_solve(quadratic, jnp.zeros(5),
+                       TRUControl(model="sr1", maxit=100))
+        assert int(st.status) == int(Status.OK)
+        d = np.arange(1, 6, dtype=float)
+        np.testing.assert_allclose(np.asarray(st.x), -1.0 / d, atol=1e-4)
