@@ -3,3 +3,7 @@ from .trs import (  # noqa: F401
     trs_solve, trs_solve_diagonal, rqs_solve, dps_solve,
 )
 from .gltr import GLTRControl, GLRTControl, GLTRInfo, gltr_solve, glrt_solve  # noqa: F401
+from .lstr import (  # noqa: F401
+    L2RTControl, LSRTControl, LSTRControl, LSTRInfo,
+    l2rt_solve, lsrt_solve, lstr_solve,
+)
