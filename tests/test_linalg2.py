@@ -1,0 +1,311 @@
+"""Linear-algebra layer tests: banded/block-tridiagonal factorization,
+SLS facade, SCU updating, BSC assembly, IR, PSLS preconditioners."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from galahad_tpu.linalg import (
+    IRControl,
+    PSLSControl,
+    SLSControl,
+    band_to_blocks,
+    block_tridiag_cholesky,
+    block_tridiag_matvec,
+    block_tridiag_solve,
+    bsc_form,
+    bsc_form_blocks,
+    ir_solve,
+    psls_build,
+    scu_append,
+    scu_delete,
+    scu_setup,
+    scu_solve,
+    sls_enquire,
+    sls_factorize,
+    sls_solve,
+)
+
+
+def spd_block_tridiag(k, b, seed):
+    """Random SPD block-tridiagonal matrix as (D, L) blocks + dense."""
+    r = np.random.default_rng(seed)
+    n = k * b
+    M = np.zeros((n, n))
+    for i in range(k):
+        Bi = r.normal(size=(b, b))
+        M[i * b:(i + 1) * b, i * b:(i + 1) * b] = Bi @ Bi.T + 3 * b * np.eye(b)
+        if i < k - 1:
+            Li = r.normal(size=(b, b))
+            M[(i + 1) * b:(i + 2) * b, i * b:(i + 1) * b] = Li
+            M[i * b:(i + 1) * b, (i + 1) * b:(i + 2) * b] = Li.T
+    D = jnp.asarray(np.stack(
+        [M[i * b:(i + 1) * b, i * b:(i + 1) * b] for i in range(k)]))
+    L = jnp.asarray(np.stack(
+        [M[(i + 1) * b:(i + 2) * b, i * b:(i + 1) * b]
+         for i in range(k - 1)])) if k > 1 else jnp.zeros((0, b, b))
+    return D, L, M
+
+
+class TestBlockTridiag:
+    @pytest.mark.parametrize("k,b", [(4, 3), (1, 5), (8, 2)])
+    def test_solve_matches_dense(self, k, b):
+        D, L, M = spd_block_tridiag(k, b, 0)
+        f = block_tridiag_cholesky(D, L)
+        assert bool(f.ok)
+        rhs = np.random.default_rng(1).normal(size=(k, b))
+        x = block_tridiag_solve(f, jnp.asarray(rhs))
+        x_ref = np.linalg.solve(M, rhs.reshape(-1))
+        np.testing.assert_allclose(np.asarray(x).reshape(-1), x_ref,
+                                   atol=1e-9)
+
+    def test_matvec(self):
+        D, L, M = spd_block_tridiag(5, 3, 2)
+        v = np.random.default_rng(3).normal(size=(5, 3))
+        out = block_tridiag_matvec(D, L, jnp.asarray(v))
+        np.testing.assert_allclose(np.asarray(out).reshape(-1),
+                                   M @ v.reshape(-1), atol=1e-10)
+
+    def test_not_spd_flagged(self):
+        D, L, M = spd_block_tridiag(3, 2, 4)
+        D = D.at[1].set(-D[1])
+        f = block_tridiag_cholesky(D, L)
+        assert not bool(f.ok)
+
+    def test_band_to_blocks_roundtrip(self):
+        """Banded matrix (semibandwidth 2) packed and solved."""
+        n, sb = 11, 2
+        r = np.random.default_rng(5)
+        band = np.zeros((sb + 1, n))
+        band[0] = r.uniform(10, 12, n)           # diagonal
+        band[1, :n - 1] = r.normal(size=n - 1)
+        band[2, :n - 2] = r.normal(size=n - 2)
+        D, L = band_to_blocks(band, n, b=4)
+        A = np.zeros((n, n))
+        for d in range(sb + 1):
+            for j in range(n - d):
+                A[j + d, j] = band[d, j]
+                A[j, j + d] = band[d, j]
+        f = block_tridiag_cholesky(D, L)
+        rhs = r.normal(size=12)                  # padded to 3 blocks of 4
+        rhs[n:] = 0.0
+        x = block_tridiag_solve(f, jnp.asarray(rhs.reshape(3, 4)))
+        x_ref = np.linalg.solve(A, rhs[:n])
+        np.testing.assert_allclose(np.asarray(x).reshape(-1)[:n], x_ref,
+                                   atol=1e-9)
+
+    def test_batched(self):
+        ks = [spd_block_tridiag(4, 3, 10 + i) for i in range(3)]
+        Ds = jnp.stack([d for d, _, _ in ks])
+        Ls = jnp.stack([l for _, l, _ in ks])
+        rhs = jnp.asarray(np.random.default_rng(7).normal(size=(3, 4, 3)))
+
+        def solve(D, L, r):
+            return block_tridiag_solve(block_tridiag_cholesky(D, L), r)
+
+        xs = jax.jit(jax.vmap(solve))(Ds, Ls, rhs)
+        for i, (_, _, M) in enumerate(ks):
+            x_ref = np.linalg.solve(M, np.asarray(rhs[i]).reshape(-1))
+            np.testing.assert_allclose(np.asarray(xs[i]).reshape(-1), x_ref,
+                                       atol=1e-9)
+
+
+class TestSLS:
+    def make_spd(self, n, seed):
+        r = np.random.default_rng(seed)
+        B = r.normal(size=(n, n))
+        return jnp.asarray(B @ B.T + n * np.eye(n))
+
+    @pytest.mark.parametrize("solver", ["potr", "sytr", "eigh"])
+    def test_dense_backends(self, solver):
+        A = self.make_spd(7, 0)
+        b = jnp.asarray(np.random.default_rng(1).normal(size=7))
+        f = sls_factorize(A, SLSControl(solver=solver))
+        assert bool(f.ok)
+        x = sls_solve(f, b)
+        np.testing.assert_allclose(np.asarray(x),
+                                   np.linalg.solve(np.asarray(A),
+                                                   np.asarray(b)),
+                                   atol=1e-8)
+
+    def test_indefinite_sytr_eigh(self):
+        r = np.random.default_rng(2)
+        B = r.normal(size=(6, 6))
+        A = jnp.asarray((B + B.T) / 2)
+        b = jnp.asarray(r.normal(size=6))
+        for solver in ("sytr", "eigh"):
+            f = sls_factorize(A, SLSControl(solver=solver))
+            x = sls_solve(f, b)
+            np.testing.assert_allclose(np.asarray(x),
+                                       np.linalg.solve(np.asarray(A),
+                                                       np.asarray(b)),
+                                       atol=1e-8)
+
+    def test_inertia(self):
+        r = np.random.default_rng(3)
+        Q, _ = np.linalg.qr(r.normal(size=(6, 6)))
+        lam = np.array([-2.0, -1.0, 0.5, 1.0, 2.0, 3.0])
+        A = jnp.asarray(Q @ np.diag(lam) @ Q.T)
+        f = sls_factorize(A, SLSControl(solver="eigh"))
+        assert list(np.asarray(sls_enquire(f))) == [4, 2, 0]
+
+    def test_pbtr(self):
+        D, L, M = spd_block_tridiag(4, 3, 4)
+        f = sls_factorize((D, L), SLSControl(solver="pbtr"))
+        rhs = np.random.default_rng(5).normal(size=(4, 3))
+        x = sls_solve(f, jnp.asarray(rhs))
+        np.testing.assert_allclose(np.asarray(x).reshape(-1),
+                                   np.linalg.solve(M, rhs.reshape(-1)),
+                                   atol=1e-9)
+
+    def test_cg(self):
+        A = self.make_spd(8, 6)
+        b = jnp.asarray(np.random.default_rng(7).normal(size=8))
+        f = sls_factorize(lambda v: A @ v, SLSControl(solver="cg"))
+        x = sls_solve(f, b)
+        np.testing.assert_allclose(np.asarray(x),
+                                   np.linalg.solve(np.asarray(A),
+                                                   np.asarray(b)),
+                                   atol=1e-8)
+
+
+class TestSCU:
+    def test_bordered_solve_grows(self):
+        """Append borders one at a time; solutions match dense solves."""
+        r = np.random.default_rng(0)
+        n, cap = 6, 3
+        B0 = r.normal(size=(n, n))
+        A = B0 @ B0.T + n * np.eye(n)
+        a_solve = lambda v: jnp.asarray(np.linalg.solve(A, np.asarray(v)))
+        st = scu_setup(n, cap)
+        cols = r.normal(size=(n, cap))
+        rows = r.normal(size=(cap, n))
+        dvals = r.uniform(5, 6, cap)
+        b1 = jnp.asarray(r.normal(size=n))
+        for j in range(cap):
+            st = scu_append(st, a_solve, jnp.asarray(cols[:, j]),
+                            jnp.asarray(rows[j]), float(dvals[j]))
+            nb = j + 1
+            b2 = jnp.zeros(cap).at[:nb].set(jnp.asarray(r.normal(size=nb)))
+            x1, x2 = scu_solve(st, a_solve, b1, b2)
+            K = np.block([
+                [A, cols[:, :nb]],
+                [rows[:nb], np.diag(dvals[:nb])],
+            ])
+            sol = np.linalg.solve(K, np.concatenate([np.asarray(b1),
+                                                     np.asarray(b2)[:nb]]))
+            np.testing.assert_allclose(np.asarray(x1), sol[:n], atol=1e-8)
+            np.testing.assert_allclose(np.asarray(x2)[:nb], sol[n:],
+                                       atol=1e-8)
+
+    def test_delete(self):
+        r = np.random.default_rng(1)
+        n = 5
+        B0 = r.normal(size=(n, n))
+        A = B0 @ B0.T + n * np.eye(n)
+        a_solve = lambda v: jnp.asarray(np.linalg.solve(A, np.asarray(v)))
+        st = scu_setup(n, 2)
+        c0, c1 = r.normal(size=n), r.normal(size=n)
+        st = scu_append(st, a_solve, jnp.asarray(c0), jnp.asarray(c0), 7.0)
+        st = scu_append(st, a_solve, jnp.asarray(c1), jnp.asarray(c1), 8.0)
+        st = scu_delete(st, a_solve, 0)   # remove first border
+        assert int(st.count) == 1
+        b1 = jnp.asarray(r.normal(size=n))
+        b2 = jnp.array([0.3, 0.0])
+        x1, x2 = scu_solve(st, a_solve, b1, b2)
+        K = np.block([[A, c1[:, None]], [c1[None, :], np.array([[8.0]])]])
+        sol = np.linalg.solve(K, np.concatenate([np.asarray(b1), [0.3]]))
+        np.testing.assert_allclose(np.asarray(x1), sol[:n], atol=1e-8)
+        assert float(x2[0]) == pytest.approx(sol[n], abs=1e-8)
+
+
+class TestBSC:
+    def test_form(self):
+        r = np.random.default_rng(0)
+        A = r.normal(size=(4, 7))
+        d = r.uniform(0.5, 2.0, 7)
+        S = bsc_form(jnp.asarray(A), jnp.asarray(d))
+        np.testing.assert_allclose(np.asarray(S), A @ np.diag(d) @ A.T,
+                                   atol=1e-10)
+
+    def test_form_blocks(self):
+        r = np.random.default_rng(1)
+        # band-limited A: row i supported on cols [2i, 2i+4)
+        m, n = 6, 16
+        A = np.zeros((m, n))
+        for i in range(m):
+            A[i, 2 * i:2 * i + 4] = r.normal(size=4)
+        d = r.uniform(0.5, 2.0, n)
+        D, L = bsc_form_blocks(jnp.asarray(A), jnp.asarray(d), block=2)
+        S = A @ np.diag(d) @ A.T
+        k = D.shape[0]
+        for i in range(k):
+            np.testing.assert_allclose(np.asarray(D[i]),
+                                       S[2 * i:2 * i + 2, 2 * i:2 * i + 2],
+                                       atol=1e-10)
+
+
+class TestIR:
+    def test_refinement_improves(self):
+        r = np.random.default_rng(0)
+        n = 8
+        B = r.normal(size=(n, n))
+        A = jnp.asarray(B @ B.T + np.eye(n))
+        b = jnp.asarray(r.normal(size=n))
+        # perturbed (regularized) solve as the approximate inverse
+        A_reg = np.asarray(A) + 0.05 * np.eye(n)
+        approx = lambda v: jnp.asarray(np.linalg.solve(A_reg, np.asarray(v)))
+        x0 = approx(b)
+        r0 = np.linalg.norm(np.asarray(A) @ np.asarray(x0) - np.asarray(b))
+        x, res = ir_solve(lambda v: A @ v, approx, b, IRControl(itref_max=5))
+        assert float(res) < 1e-6 * r0
+
+
+class TestPSLS:
+    def make(self, n, seed):
+        r = np.random.default_rng(seed)
+        B = r.normal(size=(n, n))
+        return jnp.asarray(B @ B.T + n * np.eye(n))
+
+    @pytest.mark.parametrize("kind", ["none", "diagonal", "band", "full"])
+    def test_apply_spd(self, kind):
+        """M^-1 is SPD: v'M^-1v > 0 and symmetric action."""
+        H = self.make(9, 0)
+        apply = psls_build(H, PSLSControl(preconditioner=kind))
+        r = np.random.default_rng(1)
+        for t in range(3):
+            v = jnp.asarray(r.normal(size=9))
+            w = apply(v)
+            assert float(jnp.dot(v, w)) > 0
+        # symmetry check via two vectors
+        u = jnp.asarray(r.normal(size=9))
+        v = jnp.asarray(r.normal(size=9))
+        np.testing.assert_allclose(float(jnp.dot(u, apply(v))),
+                                   float(jnp.dot(v, apply(u))), rtol=1e-8)
+
+    def test_full_is_exact(self):
+        H = self.make(7, 2)
+        apply = psls_build(H, PSLSControl(preconditioner="full"))
+        v = jnp.asarray(np.random.default_rng(3).normal(size=7))
+        np.testing.assert_allclose(np.asarray(apply(v)),
+                                   np.linalg.solve(np.asarray(H),
+                                                   np.asarray(v)),
+                                   atol=1e-8)
+
+    def test_band_improves_conditioning(self):
+        """kappa(M^-1 H) < kappa(H) for a banded-dominant H."""
+        n = 12
+        r = np.random.default_rng(4)
+        H = np.diag(r.uniform(1, 100, n))
+        for i in range(n - 1):
+            H[i, i + 1] = H[i + 1, i] = 0.3 * min(H[i, i], H[i + 1, i + 1])
+        H += 0.01 * r.normal(size=(n, n))
+        H = jnp.asarray((H + H.T) / 2)
+        apply = psls_build(H, PSLSControl(preconditioner="band",
+                                          semi_bandwidth=2))
+        M_inv_H = np.column_stack(
+            [np.asarray(apply(jnp.asarray(np.asarray(H)[:, j])))
+             for j in range(n)])
+        kap0 = np.linalg.cond(np.asarray(H))
+        kap1 = np.linalg.cond(M_inv_H)
+        assert kap1 < kap0
