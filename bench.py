@@ -92,6 +92,42 @@ def bench_qplib_ipm():
     return times
 
 
+def bench_banded_lp(n=20000):
+    """Large banded LP through the O(n b^2) block-tridiagonal KKT path
+    (BASELINE config #1 scaled up; dense storage would be n^2)."""
+    import jax
+    import jax.numpy as jnp
+
+    from galahad_tpu.linalg.band_ops import BandMatrix
+    from galahad_tpu.qp.ipm import IPMControl
+    from galahad_tpu.qp.ipm_banded import BandedQP, ipm_solve_banded
+
+    dtype = jnp.float32 if jax.default_backend() == "tpu" else jnp.float64
+    r = np.random.default_rng(0)
+    m = n - 2
+    A = BandMatrix(
+        val=jnp.asarray(np.stack([r.uniform(0.8, 1.2, m),
+                                  r.uniform(0.8, 1.2, m)]), dtype),
+        offsets=(0, 2), m=m, n=n,
+    )
+    qp = BandedQP(
+        g=jnp.asarray(-0.2 - 0.2 * (np.arange(n) % 5), dtype),
+        A_band=A,
+        c_l=jnp.ones(m, dtype), c_u=jnp.full(m, 1e20, dtype),
+        x_l=jnp.zeros(n, dtype), x_u=jnp.full(n, 2.0, dtype),
+        h_kind="zero", block=8,
+    )
+    tol = 1e-4 if dtype == jnp.float32 else 1e-6
+    ctl = IPMControl(maxit=60, stop_abs_p=tol, stop_abs_d=tol, stop_abs_c=tol)
+    ipm_solve_banded(qp, ctl)     # warm/compile
+    t0 = time.perf_counter()
+    x, y, z, st = ipm_solve_banded(qp, ctl)
+    wall = time.perf_counter() - t0
+    return dict(n=n, wall_s=round(wall, 4), iters=int(st.iter),
+                kkt=float(max(st.res_p, st.res_d, st.res_c)),
+                conv=bool(st.converged))
+
+
 def main():
     tpu_rate = bench_batched_trs()
     cpu_rate = bench_cpu_sequential_trs()
@@ -100,6 +136,10 @@ def main():
         print(f"qplib ipm: {qplib_times}", file=sys.stderr)
     except Exception as e:  # diagnostics only
         print(f"qplib bench skipped: {e}", file=sys.stderr)
+    try:
+        print(f"banded lp: {bench_banded_lp()}", file=sys.stderr)
+    except Exception as e:
+        print(f"banded lp bench skipped: {e}", file=sys.stderr)
     print(
         json.dumps(
             {

@@ -79,6 +79,14 @@ class QP:
     def dtype(self):
         return self.g.dtype
 
+    # --- constraint-matrix actions (replace QPD_AX, src/qpd/qpd.f90;
+    # overridable by structured problem types, e.g. BandedQP) ---
+    def Ax(self, v: jnp.ndarray) -> jnp.ndarray:
+        return self.A @ v
+
+    def Aty(self, y: jnp.ndarray) -> jnp.ndarray:
+        return self.A.T @ y
+
     # --- Hessian action (replaces QPD_HX, reference src/qpd/qpd.f90) ---
     def Hx(self, v: jnp.ndarray) -> jnp.ndarray:
         k = self.h_kind

@@ -112,7 +112,7 @@ def ipm_init(qp: QP, masks: BoundMasks, ctl: IPMControl) -> IPMState:
     x = interior(x0, qp.x_l, qp.x_u, masks.has_xl, masks.has_xu,
                  masks.x_fixed, margin)
     if m > 0:
-        c0 = qp.A @ x
+        c0 = qp.Ax(x)
         c = interior(c0, qp.c_l, qp.c_u, masks.has_cl, masks.has_cu,
                      masks.c_equality, margin)
     else:
@@ -169,8 +169,8 @@ def _residuals(qp: QP, masks: BoundMasks, st: IPMState):
     z = st.z_l - st.z_u
     r_d = qp.Hx(st.x) + qp.g - z
     if qp.m > 0:
-        r_d = r_d - qp.A.T @ st.y
-        r_p = qp.A @ st.x - st.c
+        r_d = r_d - qp.Aty(st.y)
+        r_p = qp.Ax(st.x) - st.c
     else:
         r_p = jnp.zeros((0,), qp.g.dtype)
     r_d = jnp.where(masks.x_fixed, 0.0, r_d)
@@ -240,41 +240,49 @@ def ipm_step(qp: QP, masks: BoundMasks, st: IPMState, ctl: IPMControl) -> IPMSta
         D_c = jnp.zeros((0,), dt)
         C_diag = jnp.zeros((0,), dt)
 
-    # --- assemble & factorize (SBLS_form_and_factorize, cqp.f90:4781) ---
-    diag_G = qp.h_kind in ("zero", "diagonal", "identity", "scaled_identity")
-    if diag_G:
-        G = qp.H_diag() + D_x
-        apply_G = lambda v: G * v
+    # --- assemble & factorize (SBLS_form_and_factorize, cqp.f90:4781).
+    # Structured problem types (BandedQP, ...) supply their own KKT
+    # factorization through build_kkt; the dense default is SBLS's
+    # Schur-complement double Cholesky.
+    if hasattr(qp, "build_kkt"):
+        kkt_solve = qp.build_kkt(D_x, C_diag, ctl)
     else:
-        G = qp.H + jnp.diag(D_x)
-        apply_G = lambda v: G @ v
-
-    if m > 0:
-        f = sbls_factorize(
-            G, qp.A, C_diag, g_is_diag=diag_G,
-            rho=ctl.rho, delta=ctl.delta,
-        )
-
-        def kkt_solve(b1, b2):
-            dx, v = sbls_solve(f, b1, b2, apply_G=apply_G, refine=ctl.refine)
-            return dx, -v  # system was in terms of -dy
-    else:
-        from ..linalg.cholesky import chol_factor_shifted, chol_solve
-
+        diag_G = qp.h_kind in ("zero", "diagonal", "identity",
+                               "scaled_identity")
         if diag_G:
-            def kkt_solve(b1, b2):
-                return b1 / G, b2
+            G = qp.H_diag() + D_x
+            apply_G = lambda v: G * v
         else:
-            L, _, _ = chol_factor_shifted(G, ctl.rho)
+            G = qp.H + jnp.diag(D_x)
+            apply_G = lambda v: G @ v
+
+        if m > 0:
+            f = sbls_factorize(
+                G, qp.A, C_diag, g_is_diag=diag_G,
+                rho=ctl.rho, delta=ctl.delta,
+            )
 
             def kkt_solve(b1, b2):
-                return chol_solve(L, b1), b2
+                dx, v = sbls_solve(f, b1, b2, apply_G=apply_G,
+                                   refine=ctl.refine)
+                return dx, -v  # system was in terms of -dy
+        else:
+            from ..linalg.cholesky import chol_factor_shifted, chol_solve
+
+            if diag_G:
+                def kkt_solve(b1, b2):
+                    return b1 / G, b2
+            else:
+                L, _, _ = chol_factor_shifted(G, ctl.rho)
+
+                def kkt_solve(b1, b2):
+                    return chol_solve(L, b1), b2
 
     # --- residuals ---
     r_d = qp.Hx(st.x) + qp.g - z
     if m > 0:
-        r_d = r_d - qp.A.T @ st.y
-        r_p = qp.A @ st.x - st.c
+        r_d = r_d - qp.Aty(st.y)
+        r_p = qp.Ax(st.x) - st.c
     else:
         r_p = jnp.zeros((0,), dt)
     r_d = jnp.where(masks.x_fixed, 0.0, r_d)
@@ -295,7 +303,7 @@ def ipm_step(qp: QP, masks: BoundMasks, st: IPMState, ctl: IPMControl) -> IPMSta
                 -r_p + jnp.where(masks.c_equality, 0.0, w * C_diag),
             )
             dx, dy = kkt_solve(b1, b2)
-            dc = qp.A @ dx + r_p
+            dc = qp.Ax(dx) + r_p
             dy_l = _safe_div(r_tl - st.y_l * dc, t_l, ml_c)
             dy_u = _safe_div(r_tu + st.y_u * dc, t_u, mu_c)
         else:
@@ -414,7 +422,7 @@ def extract_solution(qp: QP, masks: BoundMasks, st: IPMState):
     z = st.z_l - st.z_u
     r = qp.Hx(st.x) + qp.g
     if qp.m > 0:
-        r = r - qp.A.T @ st.y
+        r = r - qp.Aty(st.y)
     z = jnp.where(masks.x_fixed, r, z)
     return st.x, st.y, z
 
