@@ -1,0 +1,158 @@
+"""Generic QP front-end, LSQP, WCP and L1QP.
+
+TPU-native equivalents of:
+  * QP  (reference src/qp/qp.f90: QP_solve dispatch :1220-1340 on
+    control%quadratic_programming_solver, with integrated scale +
+    presolve) -> :func:`qp_solve`;
+  * LSQP (src/lsqp/lsqp.f90: LSQP_solve :1031 — LP / separable-QP IPM)
+    -> :func:`lsqp_solve` (the IPM's diagonal-H fast path);
+  * WCP (src/wcp/wcp.f90: WCP_solve :935 — well-centered interior point
+    of a polytope by primal-dual IPM) -> :func:`wcp_solve`;
+  * L1QP (src/l1qp/l1qp.f90 with src/lpqp reformulation) ->
+    :func:`l1qp_solve` — l1-penalty QP via elastic slack splitting.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax.numpy as jnp
+
+from ..core.config import control as control_dc
+from ..core.problem import INFINITY, QP, classify_bounds
+from ..pre import (
+    PresolveControl,
+    ScaleControl,
+    presolve_apply,
+    scale_apply,
+    scale_get,
+    scale_recover,
+)
+from .dqp import DQPControl, ccqp_solve, dqp_solve
+from .ipm import IPMControl, ipm_solve
+
+
+@control_dc
+class QPControl:
+    """QP_control_type equivalent (reference src/qp/qp.f90)."""
+
+    quadratic_programming_solver: str = "cqp"   # cqp | dqp | ccqp
+    scale: int = 0                              # 0 off; >0 -> sinkhorn
+    presolve_problem: bool = False
+    infinity: float = INFINITY
+    ipm: IPMControl = IPMControl()
+    dqp: DQPControl = DQPControl()
+
+
+def qp_solve(qp: QP, ctl: QPControl = QPControl()):
+    """Generic entry: optional scaling + presolve, then dispatch by
+    solver name (reference qp.f90:1220-1340).  Returns (x, y, z, info)
+    in the ORIGINAL problem's variables."""
+    work = qp
+    scaling = None
+    if ctl.scale:
+        scaling = scale_get(work, ScaleControl(method="sinkhorn"))
+        work = scale_apply(work, scaling, ctl.infinity)
+    if ctl.presolve_problem:
+        pinfo = presolve_apply(work, PresolveControl(infinity=ctl.infinity))
+        work = pinfo.qp
+
+    name = ctl.quadratic_programming_solver
+    if name == "cqp":
+        x, y, z, info = ipm_solve(work, ctl.ipm)
+    elif name == "dqp":
+        d = dqp_solve(work, ctl=ctl.dqp)
+        x, y, z, info = d.x, d.y, d.z, d
+    elif name == "ccqp":
+        d = ccqp_solve(work, ipm_ctl=ctl.ipm, dqp_ctl=ctl.dqp)
+        x, y, z, info = d.x, d.y, d.z, d
+    else:
+        raise ValueError(f"unknown QP solver {name!r}")
+
+    if scaling is not None:
+        x, y, z = scale_recover(scaling, x, y, z)
+    return x, y, z, info
+
+
+def lsqp_solve(qp: QP, ctl: IPMControl = IPMControl()):
+    """LP / separable-QP IPM (LSQP equivalent).  Requires h_kind in
+    {zero, diagonal, identity, scaled_identity}; this is exactly the
+    IPM's diagonal-G fast path (one banded/diagonal Schur solve per
+    iteration)."""
+    if qp.h_kind not in ("zero", "diagonal", "identity", "scaled_identity"):
+        raise ValueError("lsqp requires a separable (diagonal) Hessian")
+    return ipm_solve(qp, ctl)
+
+
+@control_dc
+class WCPControl:
+    maxit: int = 100
+    mu_target: float = 1.0       # target complementarity at the center
+    stop_p: float = 1.0e-8
+    infinity: float = INFINITY
+
+
+def wcp_solve(qp: QP, ctl: WCPControl = WCPControl()):
+    """Find a well-centered strictly interior point of the polytope
+    {x : c_l <= Ax <= c_u, x_l <= x <= x_u} (WCP equivalent).
+
+    Runs the primal-dual IPM on the zero objective but stops the barrier
+    decrease at mu_target instead of driving it to zero: the iterates
+    converge to the analytic-center path point at mu_target
+    (reference wcp.f90 finds exactly such mu-centered points).
+    Returns (x, y, z, state); state.converged means primal-feasible and
+    centered."""
+    work = dataclasses.replace(qp, H=None, h_kind="zero",
+                               g=jnp.zeros_like(qp.g))
+    ictl = IPMControl(
+        maxit=ctl.maxit,
+        stop_abs_p=ctl.stop_p,
+        stop_abs_d=1.0e-6,
+        # stop complementarity test at the target neighborhood: mu is no
+        # longer driven below mu_target, so res_c stalls near it
+        stop_abs_c=10.0 * ctl.mu_target,
+        mu_min_factor=1.0,
+        infinity=ctl.infinity,
+    )
+    return ipm_solve(work, ictl)
+
+
+@control_dc
+class L1QPControl:
+    rho: float = 100.0           # l1 penalty weight
+    ipm: IPMControl = IPMControl()
+    infinity: float = INFINITY
+
+
+def l1qp_solve(qp: QP, ctl: L1QPControl = L1QPControl()):
+    """l1-penalty QP (L1QP/LPQP equivalent):
+
+        min 1/2 x'Hx + g'x + rho * (||(c_l - Ax)_+||_1 + ||(Ax - c_u)_+||_1)
+
+    reformulated with elastic slacks s >= 0 (one per violated side) into
+    a standard QP over [x; s_l; s_u]:  A x + s_l - s_u in [c_l, c_u],
+    objective + rho 1's  — the LPQP transformation (src/lpqp/lpqp.f90)
+    done with static shapes, then solved by the IPM."""
+    n, m = qp.n, qp.m
+    dt = qp.g.dtype
+    if m == 0:
+        return ipm_solve(qp, ctl.ipm)
+    rho = jnp.asarray(ctl.rho, dt)
+    inf = ctl.infinity
+
+    # extended problem over v = [x; s_l; s_u] (s_l relaxes c_l, s_u c_u)
+    Hk = qp.H_dense()
+    H_ext = jnp.zeros((n + 2 * m, n + 2 * m), dt).at[:n, :n].set(Hk)
+    g_ext = jnp.concatenate([qp.g, rho * jnp.ones(2 * m, dt)])
+    A_ext = jnp.concatenate(
+        [qp.A, jnp.eye(m, dtype=dt), -jnp.eye(m, dtype=dt)], axis=1
+    )
+    big = jnp.asarray(2 * inf, dt)
+    ext = QP(
+        H=H_ext, g=g_ext, A=A_ext,
+        c_l=qp.c_l, c_u=qp.c_u,
+        x_l=jnp.concatenate([qp.x_l, jnp.zeros(2 * m, dt)]),
+        x_u=jnp.concatenate([qp.x_u, jnp.full(2 * m, big)]),
+    )
+    x_ext, y, z_ext, st = ipm_solve(ext, ctl.ipm)
+    return x_ext[:n], y, z_ext[:n], st

@@ -1,0 +1,201 @@
+"""Constrained-NLP solver tests: augmented Lagrangian (LANCELOT-class),
+filter feasibility (FILTRANE), QP front-end / LSQP / WCP / L1QP."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from galahad_tpu.core.problem import INFINITY, QP, classify_bounds
+from galahad_tpu.core.residuals import kkt_residuals
+from galahad_tpu.core.status import Status
+from galahad_tpu.nlp import filtrane_solve, lancelot_solve
+from galahad_tpu.qp.frontend import (
+    L1QPControl,
+    QPControl,
+    WCPControl,
+    l1qp_solve,
+    lsqp_solve,
+    qp_solve,
+    wcp_solve,
+)
+
+from test_ipm import random_convex_qp
+
+
+class TestLancelot:
+    def test_equality_constrained(self):
+        """min x0^2 + x1^2 s.t. x0 + x1 = 1 -> x = (0.5, 0.5), y = -1."""
+
+        def f(x):
+            return jnp.sum(x**2)
+
+        def c(x):
+            return jnp.array([x[0] + x[1]])
+
+        info = lancelot_solve(f, c, jnp.zeros(2),
+                              jnp.array([1.0]), jnp.array([1.0]))
+        assert bool(info.converged)
+        np.testing.assert_allclose(np.asarray(info.x), [0.5, 0.5], atol=1e-5)
+        assert float(info.y[0]) == pytest.approx(-1.0, abs=1e-4)
+
+    def test_inequality(self):
+        """min (x0-2)^2 + (x1-2)^2 s.t. x0 + x1 <= 2 -> x = (1, 1)."""
+
+        def f(x):
+            return jnp.sum((x - 2.0) ** 2)
+
+        def c(x):
+            return jnp.array([x[0] + x[1]])
+
+        info = lancelot_solve(f, c, jnp.zeros(2),
+                              jnp.array([-INFINITY]), jnp.array([2.0]))
+        assert bool(info.converged)
+        np.testing.assert_allclose(np.asarray(info.x), [1.0, 1.0], atol=1e-4)
+
+    def test_inactive_inequality(self):
+        def f(x):
+            return jnp.sum((x - 0.2) ** 2)
+
+        def c(x):
+            return jnp.array([x[0] + x[1]])
+
+        info = lancelot_solve(f, c, jnp.zeros(2),
+                              jnp.array([-INFINITY]), jnp.array([2.0]))
+        assert bool(info.converged)
+        np.testing.assert_allclose(np.asarray(info.x), [0.2, 0.2], atol=1e-5)
+        assert abs(float(info.y[0])) < 1e-6
+
+    def test_with_bounds(self):
+        """Rosenbrock on a circle-ish constraint with bounds."""
+
+        def f(x):
+            return (1 - x[0]) ** 2 + 100 * (x[1] - x[0] ** 2) ** 2
+
+        def c(x):
+            return jnp.array([x[0] ** 2 + x[1] ** 2])
+
+        # constrain to the unit disk; solution on the boundary near
+        # (0.786, 0.618)
+        info = lancelot_solve(f, c, jnp.array([0.5, 0.5]),
+                              jnp.array([-INFINITY]), jnp.array([1.0]),
+                              x_l=jnp.zeros(2), x_u=jnp.ones(2))
+        assert bool(info.converged)
+        x = np.asarray(info.x)
+        assert x[0] ** 2 + x[1] ** 2 <= 1.0 + 1e-5
+        assert float(info.f) < f(jnp.array([0.5, 0.5]))
+
+    def test_nonlinear_equality(self):
+        """min x0 + x1 s.t. x0^2 + x1^2 = 2 -> x = (-1, -1)."""
+
+        def f(x):
+            return x[0] + x[1]
+
+        def c(x):
+            return jnp.array([x[0] ** 2 + x[1] ** 2])
+
+        info = lancelot_solve(f, c, jnp.array([0.1, -1.5]),
+                              jnp.array([2.0]), jnp.array([2.0]))
+        assert bool(info.converged)
+        np.testing.assert_allclose(np.asarray(info.x), [-1.0, -1.0],
+                                   atol=1e-4)
+
+
+class TestFiltrane:
+    def test_nonlinear_system(self):
+        """Solve the 2x2 system x0^2 + x1^2 = 1, x0 = x1^2 exactly."""
+
+        def c(x):
+            return jnp.array([x[0] ** 2 + x[1] ** 2, x[0] - x[1] ** 2])
+
+        info = filtrane_solve(c, jnp.array([0.5, 0.5]),
+                              jnp.array([1.0, 0.0]), jnp.array([1.0, 0.0]))
+        assert bool(info.converged)
+        x = np.asarray(info.x)
+        assert abs(x[0] ** 2 + x[1] ** 2 - 1) < 1e-4
+        assert abs(x[0] - x[1] ** 2) < 1e-4
+
+    def test_inequality_feasibility(self):
+        """Find a point in a polytope-ish nonlinear region."""
+
+        def c(x):
+            return jnp.array([x[0] + x[1], x[0] ** 2 + x[1] ** 2])
+
+        info = filtrane_solve(c, jnp.array([5.0, 5.0]),
+                              jnp.array([1.0, -INFINITY]),
+                              jnp.array([INFINITY, 4.0]))
+        assert bool(info.converged)
+        x = np.asarray(info.x)
+        assert x[0] + x[1] >= 1 - 1e-4
+        assert x[0] ** 2 + x[1] ** 2 <= 4 + 1e-4
+
+    def test_already_feasible(self):
+        def c(x):
+            return x
+
+        info = filtrane_solve(c, jnp.array([0.5]),
+                              jnp.array([0.0]), jnp.array([1.0]))
+        assert bool(info.converged)
+        assert int(info.iter) <= 1
+
+
+class TestQPFrontend:
+    def test_dispatch_all_solvers(self):
+        qp = random_convex_qp(8, 4, 500)
+        xs = {}
+        for name in ("cqp", "dqp", "ccqp"):
+            x, y, z, info = qp_solve(
+                qp, QPControl(quadratic_programming_solver=name))
+            rp, rd, rc = kkt_residuals(qp, x, y, z)
+            assert float(rp) < 1e-5 and float(rd) < 1e-5, name
+            xs[name] = np.asarray(x)
+        np.testing.assert_allclose(xs["cqp"], xs["dqp"], atol=1e-4)
+
+    def test_scaled_presolved(self):
+        qp = random_convex_qp(8, 4, 501)
+        x, y, z, info = qp_solve(
+            qp, QPControl(scale=1, presolve_problem=True))
+        rp, rd, rc = kkt_residuals(qp, x, y, z)
+        assert float(rp) < 1e-5 and float(rd) < 1e-5
+
+    def test_lsqp(self):
+        qp = random_convex_qp(8, 5, 502, lp=True)
+        x, y, z, st = lsqp_solve(qp)
+        assert int(st.status) == int(Status.OK)
+        with pytest.raises(ValueError):
+            lsqp_solve(random_convex_qp(4, 2, 503))
+
+    def test_wcp(self):
+        """WCP point is strictly interior and feasible."""
+        qp = random_convex_qp(8, 4, 504)
+        x, y, z, st = wcp_solve(qp)
+        masks = classify_bounds(qp)
+        assert float(jnp.max(jnp.abs(qp.A @ x - jnp.clip(
+            qp.A @ x, qp.c_l, qp.c_u)))) < 1e-6
+        gap_l = np.asarray(x - qp.x_l)
+        gap_u = np.asarray(qp.x_u - x)
+        assert gap_l.min() > 1e-8 and gap_u.min() > 1e-8
+
+    def test_l1qp_feasible_case(self):
+        """Feasible QP: l1 penalty with big rho reproduces the QP
+        solution."""
+        qp = random_convex_qp(6, 3, 505)
+        from galahad_tpu.qp.ipm import ipm_solve
+
+        x_ref, _, _, _ = ipm_solve(qp)
+        x, y, z, st = l1qp_solve(qp, L1QPControl(rho=1e4))
+        np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref),
+                                   atol=1e-3)
+
+    def test_l1qp_infeasible_case(self):
+        """Inconsistent constraints: l1QP still returns a minimizer of
+        the penalized violation (the reference's l1 elastic mode)."""
+        n = 4
+        qp = QP(
+            H=jnp.eye(n), g=jnp.zeros(n),
+            A=jnp.ones((2, n)) * jnp.array([[1.0], [1.0]]),
+            c_l=jnp.array([2.0, -INFINITY]),
+            c_u=jnp.array([INFINITY, 1.0]),     # sum >= 2 AND sum <= 1
+            x_l=jnp.zeros(n), x_u=jnp.ones(n),
+        )
+        x, y, z, st = l1qp_solve(qp, L1QPControl(rho=10.0))
+        assert bool(st.converged)
+        assert np.all(np.isfinite(np.asarray(x)))
