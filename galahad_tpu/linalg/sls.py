@@ -15,7 +15,10 @@ Backends here (dispatch by the same kind of name string):
   * "pbtr"  — block-tridiagonal/banded Cholesky (linalg/banded.py):
     O(n b^2) flops, the large-banded workhorse;
   * "cg"    — matrix-free conjugate gradients (no factorization), for
-    well-conditioned or preconditioned systems.
+    well-conditioned or preconditioned systems;
+  * "supernodal" — sparse multifrontal Cholesky (linalg/supernodal.py,
+    the SSIDS replacement): pass A = (symbolic, values) from
+    supernodal_analyse.
 
 All factor objects expose .solve(rhs) and vmap/jit cleanly.  Dynamic
 threshold pivoting does not exist on TPU by design — quasi-definite
@@ -78,6 +81,14 @@ def sls_factorize(A, ctl: SLSControl = SLSControl()) -> SLSFactors:
         return SLSFactors(data=A, aux=ctl, ok=jnp.array(True),
                           inertia=none3, kind=kind)
 
+    if kind == "supernodal":
+        from .supernodal import supernodal_factorize
+
+        sym, vals = A
+        fac = supernodal_factorize(sym, vals, shift=ctl.shift)
+        return SLSFactors(data=fac, aux=sym, ok=jnp.array(True),
+                          inertia=none3, kind=kind)
+
     A = jnp.asarray(A)
     n = A.shape[-1]
     if ctl.shift:
@@ -133,6 +144,10 @@ def sls_solve(f: SLSFactors, rhs):
         return x[..., 0] if rhs.ndim == 1 else x
     if f.kind == "pbtr":
         return block_tridiag_solve(f.data, rhs)
+    if f.kind == "supernodal":
+        from .supernodal import supernodal_solve
+
+        return supernodal_solve(f.aux, f.data, rhs)
     if f.kind == "cg":
         return _cg_solve(f.data, rhs, f.aux)
     raise ValueError(f"unknown SLS solver {f.kind!r}")

@@ -1,0 +1,81 @@
+"""numpy-friendly wrappers over the native symbolic library."""
+from __future__ import annotations
+
+import ctypes
+
+import numpy as np
+
+from .build import load_symbolic
+
+
+def _i32(a):
+    return np.ascontiguousarray(a, dtype=np.int32)
+
+
+def _ptr(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def rcm_order(rowptr, colind) -> np.ndarray:
+    """Reverse Cuthill-McKee permutation (bandwidth reduction)."""
+    lib = load_symbolic()
+    rowptr = _i32(rowptr)
+    colind = _i32(colind)
+    n = len(rowptr) - 1
+    perm = np.zeros(n, np.int32)
+    lib.rcm_order(n, _ptr(rowptr), _ptr(colind), _ptr(perm))
+    return perm
+
+
+def amd_order(rowptr, colind) -> np.ndarray:
+    """Minimum-degree permutation (fill reduction)."""
+    lib = load_symbolic()
+    rowptr = _i32(rowptr)
+    colind = _i32(colind)
+    n = len(rowptr) - 1
+    perm = np.zeros(n, np.int32)
+    lib.amd_order(n, _ptr(rowptr), _ptr(colind), _ptr(perm))
+    return perm
+
+
+def etree(rowptr, colind) -> np.ndarray:
+    """Elimination tree parents of an (already permuted) pattern."""
+    lib = load_symbolic()
+    rowptr = _i32(rowptr)
+    colind = _i32(colind)
+    n = len(rowptr) - 1
+    parent = np.zeros(n, np.int32)
+    lib.etree(n, _ptr(rowptr), _ptr(colind), _ptr(parent))
+    return parent
+
+
+def postorder(parent) -> np.ndarray:
+    lib = load_symbolic()
+    parent = _i32(parent)
+    n = len(parent)
+    post = np.zeros(n, np.int32)
+    lib.postorder_tree(n, _ptr(parent), _ptr(post))
+    return post
+
+
+def supernode_partition(parent, colcount, relax_cols=0):
+    """snode id per column + count (fundamental supernodes with relaxed
+    amalgamation)."""
+    lib = load_symbolic()
+    parent = _i32(parent)
+    colcount = _i32(colcount)
+    n = len(parent)
+    snode = np.zeros(n, np.int32)
+    ns = lib.supernodes(n, _ptr(parent), _ptr(colcount),
+                        np.int32(relax_cols), _ptr(snode))
+    return snode, int(ns)
+
+
+def tree_levels(sparent):
+    """Per-supernode level (leaves 0) + number of levels."""
+    lib = load_symbolic()
+    sparent = _i32(sparent)
+    ns = len(sparent)
+    level = np.zeros(ns, np.int32)
+    nl = lib.tree_levels(ns, _ptr(sparent), _ptr(level))
+    return level, int(nl)

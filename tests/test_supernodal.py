@@ -1,0 +1,158 @@
+"""Supernodal multifrontal factorization + native symbolic tests
+(SSIDS-class sparse Cholesky)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from galahad_tpu.linalg import SLSControl, sls_factorize, sls_solve
+from galahad_tpu.linalg.supernodal import (
+    supernodal_analyse,
+    supernodal_factorize,
+    supernodal_solve,
+)
+from galahad_tpu.native import (
+    amd_order,
+    etree,
+    postorder,
+    rcm_order,
+    supernode_partition,
+    tree_levels,
+)
+
+
+def grid_laplacian(k, shift=0.1):
+    n = k * k
+    G = sp.lil_matrix((n, n))
+    for i in range(k):
+        for j in range(k):
+            u = i * k + j
+            G[u, u] = 4.0 + shift
+            for (a, b) in ((i + 1, j), (i, j + 1)):
+                if a < k and b < k:
+                    v = a * k + b
+                    G[u, v] = G[v, u] = -1.0
+    return G.tocsr()
+
+
+def solve_case(A_csr, order="amd", relax=4):
+    n = A_csr.shape[0]
+    Al = sp.tril(A_csr).tocoo()
+    sym = supernodal_analyse(Al.row, Al.col, n, order=order,
+                             relax_cols=relax)
+    fac = supernodal_factorize(sym, jnp.asarray(Al.data))
+    b = np.random.default_rng(1).normal(size=n)
+    x = supernodal_solve(sym, fac, jnp.asarray(b))
+    r = np.linalg.norm(A_csr @ np.asarray(x) - b) / np.linalg.norm(b)
+    return r, sym, (Al, fac, b)
+
+
+class TestNativeSymbolic:
+    def test_permutations_valid(self):
+        A = grid_laplacian(5)
+        for fn in (amd_order, rcm_order):
+            p = fn(A.indptr, A.indices)
+            assert sorted(p.tolist()) == list(range(25))
+
+    def test_amd_reduces_fill_vs_natural(self):
+        A = grid_laplacian(8)
+        _, sym_amd, _ = solve_case(A, "amd", relax=0)
+        _, sym_nat, _ = solve_case(A, "natural", relax=0)
+        assert sym_amd.nnz_L < sym_nat.nnz_L
+
+    def test_etree_chain(self):
+        n = 6
+        T = sp.csr_matrix(np.eye(n) + np.diag(np.ones(n - 1), 1)
+                          + np.diag(np.ones(n - 1), -1))
+        par = etree(T.indptr, T.indices)
+        assert all(par[i] == i + 1 for i in range(n - 1))
+        assert par[n - 1] == -1
+        assert postorder(par).tolist() == list(range(n))
+
+    def test_supernode_no_overmerge_chain(self):
+        """relax=0 must NOT merge interior tridiagonal-chain columns
+        (structs not nested); only the final pair is fundamental."""
+        n = 6
+        par = np.array([1, 2, 3, 4, 5, -1], np.int32)
+        cc = np.array([2, 2, 2, 2, 2, 1], np.int32)
+        sn, ns = supernode_partition(par, cc, relax_cols=0)
+        assert ns == n - 1
+        assert sn[4] == sn[5]
+
+    def test_tree_levels(self):
+        # two leaves -> one root
+        sparent = np.array([2, 2, -1], np.int32)
+        lev, nl = tree_levels(sparent)
+        assert lev.tolist() == [0, 0, 1]
+        assert nl == 2
+
+
+class TestSupernodalNumeric:
+    @pytest.mark.parametrize("order", ["amd", "rcm", "natural"])
+    def test_grid(self, order):
+        r, sym, _ = solve_case(grid_laplacian(6), order)
+        assert r < 1e-12
+
+    def test_tridiagonal(self):
+        n = 30
+        A = sp.csr_matrix(np.diag(np.full(n, 4.0))
+                          + np.diag(np.full(n - 1, -1.0), 1)
+                          + np.diag(np.full(n - 1, -1.0), -1))
+        r, sym, _ = solve_case(A, "natural", relax=0)
+        assert r < 1e-12
+
+    def test_random_spd(self):
+        m = sp.random(25, 25, density=0.15, random_state=7)
+        A = sp.csr_matrix((m @ m.T).toarray() + 5 * np.eye(25))
+        r, _, _ = solve_case(A, "amd")
+        assert r < 1e-12
+
+    def test_disconnected_components(self):
+        A1 = grid_laplacian(3).toarray()
+        A = sp.csr_matrix(np.block([
+            [A1, np.zeros((9, 9))],
+            [np.zeros((9, 9)), 2 * A1],
+        ]))
+        r, _, _ = solve_case(A, "amd")
+        assert r < 1e-12
+
+    def test_jit_factor_solve(self):
+        """Numeric phase compiles into one program; re-execution with
+        new values does not re-run symbolic analysis."""
+        A = grid_laplacian(5)
+        Al = sp.tril(A).tocoo()
+        sym = supernodal_analyse(Al.row, Al.col, A.shape[0])
+
+        @jax.jit
+        def solve(vals, b):
+            fac = supernodal_factorize(sym, vals)
+            return supernodal_solve(sym, fac, b)
+
+        b = np.random.default_rng(3).normal(size=A.shape[0])
+        x1 = solve(jnp.asarray(Al.data), jnp.asarray(b))
+        x2 = solve(jnp.asarray(2.0 * Al.data), jnp.asarray(b))
+        np.testing.assert_allclose(np.asarray(x2), np.asarray(x1) / 2.0,
+                                   atol=1e-12)
+
+    def test_shift_regularization(self):
+        """Singular matrix + shift solves the shifted system."""
+        n = 10
+        A = sp.csr_matrix(np.diag(np.arange(n, dtype=float)))  # singular
+        Al = sp.tril(A).tocoo()
+        sym = supernodal_analyse(Al.row, Al.col, n, order="natural")
+        fac = supernodal_factorize(sym, jnp.asarray(Al.data), shift=1.0)
+        b = np.ones(n)
+        x = supernodal_solve(sym, fac, jnp.asarray(b))
+        np.testing.assert_allclose(np.asarray(x),
+                                   1.0 / (np.arange(n) + 1.0), atol=1e-12)
+
+    def test_sls_facade(self):
+        A = grid_laplacian(5)
+        Al = sp.tril(A).tocoo()
+        sym = supernodal_analyse(Al.row, Al.col, A.shape[0])
+        f = sls_factorize((sym, jnp.asarray(Al.data)),
+                          SLSControl(solver="supernodal"))
+        b = np.random.default_rng(5).normal(size=A.shape[0])
+        x = sls_solve(f, jnp.asarray(b))
+        assert np.linalg.norm(A @ np.asarray(x) - b) < 1e-10
