@@ -66,6 +66,25 @@ def qp_solve(qp: QP, ctl: QPControl = QPControl()):
     elif name == "ccqp":
         d = ccqp_solve(work, ipm_ctl=ctl.ipm, dqp_ctl=ctl.dqp)
         x, y, z, info = d.x, d.y, d.z, d
+    elif name == "qpa":
+        from .qpa import qpa_solve
+        d = qpa_solve(work)
+        x, y, z, info = d.x, d.y, d.z, d
+    elif name == "qpb":
+        from .qpb import qpb_solve
+        d = qpb_solve(work)
+        x, y, z, info = d.x, d.y, d.z, d
+    elif name == "qpc":
+        from .qpa import qpc_solve
+        d = qpc_solve(work, ipm_ctl=ctl.ipm)
+        x, y, z, info = d.x, d.y, d.z, d
+    elif name == "lpa":
+        from .lpa import lpa_solve
+        d = lpa_solve(work)
+        x, y, z, info = d.x, d.y, d.z, d
+    elif name == "lpb":
+        from .wrappers import lpb_solve
+        x, y, z, info = lpb_solve(work, ctl.ipm)
     else:
         raise ValueError(f"unknown QP solver {name!r}")
 

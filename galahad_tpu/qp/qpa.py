@@ -1,0 +1,265 @@
+"""Active-set (working-set) QP solver, and the QPC crossover composite.
+
+TPU-native re-design of GALAHAD's QPA (reference src/qpa/qpa.f90:
+QPA_solve :897 — an l1-penalty working-set method whose linear algebra
+is an SLS factorization updated by SCU as the working set changes) and
+QPC (src/qpc/qpc.f90 — interior point then active set).
+
+TPU redesign.  The reference's working-set updates change matrix
+*shapes* (rows enter/leave the KKT system); XLA needs static shapes, so
+the working set is a boolean mask and the KKT matrix keeps its full
+(n + m + n) layout: inactive general constraints and bounds are
+replaced by identity rows fixing their multiplier to zero.  One masked
+matrix assembly + one LU factorization per working-set change — each is
+a fixed-shape MXU kernel, and whole batches of QPs vmap.  (SCU-style
+low-rank updating is available in linalg/scu.py; the dense refactorize
+is preferred here because a fresh (n+m)x(n+m) LU on the MXU is cheaper
+than serialized rank-one updates for the sizes where a dense active-set
+method is the right tool.  See BASELINE configs: active-set methods are
+the worst TPU fit, kept for capability parity & crossover.)
+
+Algorithm: primal active set (Fletcher/Goldfarb-Idnani flavor of
+QPA's working-set mechanics): start feasible (via lsqp/phase-1), solve
+the equality-constrained subproblem on the working set, ratio-test to
+the nearest blocking constraint, add blockers, drop constraints whose
+multiplier has the wrong sign.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import control as control_dc
+from ..core.problem import INFINITY, QP, classify_bounds
+from ..core.status import Status
+
+
+@control_dc
+class QPAControl:
+    """QPA_control_type equivalent (reference src/qpa/qpa.f90)."""
+
+    maxit: int = 500
+    feas_tol: float = 1.0e-8
+    multiplier_tol: float = 1.0e-8   # wrong-sign threshold for drops
+    reg: float = 1.0e-10             # KKT regularization
+    infinity: float = INFINITY
+
+
+@dataclasses.dataclass
+class QPAInfo:
+    x: Any
+    y: Any
+    z: Any
+    obj: Any
+    status: int
+    iter: int
+    c_stat: Any      # per-constraint: -1 lower active, 0 inactive, 1 upper
+    b_stat: Any      # per-bound: same convention
+    major_iter: int = 0
+
+
+def _kkt_solve(H, A, act_c, act_b, sig_c, sig_b, rhs_x, rhs_c, rhs_b, reg):
+    """Solve the working-set KKT system with masked rows.
+
+    [ H      A_W'    I_B' ] [ dx ]   [ rhs_x ]
+    [ A_W     0       0   ] [ -y ] = [ rhs_c ]   (active rows only)
+    [ I_B     0       0   ] [ -z ]   [ rhs_b ]   (active bounds only)
+
+    Inactive rows/cols are replaced by identity (multiplier := 0).
+    """
+    n = H.shape[0]
+    m = A.shape[0] if A is not None and A.shape[0] else 0
+    dt = H.dtype
+    ac = act_c.astype(dt)
+    ab = act_b.astype(dt)
+    Am = A * ac[:, None] if m else jnp.zeros((0, n), dt)
+    Ib = jnp.diag(ab)
+    Z_mm = jnp.diag(1.0 - ac) if m else jnp.zeros((0, 0), dt)
+    Z_bb = jnp.diag(1.0 - ab)
+    top = jnp.concatenate([H + reg * jnp.eye(n, dtype=dt), Am.T, Ib], axis=1)
+    mid = jnp.concatenate(
+        [Am, -reg * jnp.eye(m, dtype=dt) + Z_mm, jnp.zeros((m, n), dt)],
+        axis=1) if m else jnp.zeros((0, 2 * n + m), dt)
+    bot = jnp.concatenate(
+        [Ib, jnp.zeros((n, m), dt), -reg * jnp.eye(n, dtype=dt) + Z_bb],
+        axis=1)
+    K = jnp.concatenate([top, mid, bot], axis=0)
+    rhs = jnp.concatenate([rhs_x, rhs_c * ac, rhs_b * ab])
+    sol = jnp.linalg.solve(K, rhs)
+    dx = sol[:n]
+    y = -sol[n:n + m] * ac if m else jnp.zeros((0,), dt)
+    z = -sol[n + m:] * ab
+    return dx, y, z
+
+
+def qpa_solve(qp: QP, x0=None, c_stat0=None, b_stat0=None,
+              ctl: QPAControl = QPAControl()) -> QPAInfo:
+    """Primal active-set solve.  ``x0`` must be feasible (phase 1 via
+    lsqp_solve / wcp_solve if not supplied); c_stat0/b_stat0 warm-start
+    the working set (the reference's C_stat/B_stat arrays)."""
+    dt = qp.g.dtype
+    n, m = qp.n, qp.m
+    masks = classify_bounds(qp, ctl.infinity)
+    H = qp.H_dense()
+    A = qp.A if m else None
+
+    if x0 is None:
+        from .frontend import lsqp_solve
+        from ..qp.ipm import IPMControl
+        lp = dataclasses.replace(qp, H=None, h_kind="zero", name="")
+        x0, _, _, _ = lsqp_solve(lp, IPMControl(dtype=str(dt)))
+    x = jnp.clip(jnp.asarray(x0, dt), qp.x_l, qp.x_u)
+
+    # host-side working set (drives refactorizations; numpy bools)
+    act_b = np.zeros(n, bool)
+    sig_b = np.zeros(n, np.int8)
+    act_c = np.zeros(m, bool)
+    sig_c = np.zeros(m, np.int8)
+
+    xh = np.asarray(x)
+    if c_stat0 is not None:
+        sig_c[:] = np.sign(np.asarray(c_stat0)).astype(np.int8)
+        act_c[:] = sig_c != 0
+    if b_stat0 is not None:
+        sig_b[:] = np.sign(np.asarray(b_stat0)).astype(np.int8)
+        act_b[:] = sig_b != 0
+    # equalities always active; fixed variables always active
+    eq = np.asarray(masks.c_equality)
+    act_c |= eq
+    sig_c[eq] = -1
+    fx = np.asarray(masks.x_fixed)
+    act_b |= fx
+    sig_b[fx] = -1
+    # activate bounds the start point sits on
+    on_lo = np.asarray((jnp.abs(x - qp.x_l) < ctl.feas_tol) & masks.has_xl)
+    on_hi = np.asarray((jnp.abs(qp.x_u - x) < ctl.feas_tol) & masks.has_xu)
+    act_b |= on_lo | on_hi
+    sig_b[on_lo] = -1
+    sig_b[on_hi & ~on_lo] = 1
+
+    solve = jax.jit(_kkt_solve)
+    reg = jnp.asarray(ctl.reg, dt)
+    status = int(Status.MAX_ITERATIONS)
+    it = 0
+    for it in range(1, ctl.maxit + 1):
+        g_x = H @ x + qp.g
+        ac = jnp.asarray(act_c)
+        ab = jnp.asarray(act_b)
+        dx, y, z = solve(H, A if m else jnp.zeros((0, n), dt),
+                         ac, ab, jnp.asarray(sig_c, dt),
+                         jnp.asarray(sig_b, dt),
+                         -g_x, jnp.zeros(m, dt), jnp.zeros(n, dt), reg)
+        norm_dx = float(jnp.max(jnp.abs(dx), initial=0.0))
+        xscale = 1.0 + float(jnp.max(jnp.abs(x), initial=0.0))
+
+        if norm_dx <= 1e-8 * xscale:
+            # stationary on the working set: check multiplier signs
+            yh = np.asarray(y)
+            zh = np.asarray(z)
+            # wrong sign: lower-active needs multiplier >= 0 (for
+            # min problem with c >= c_l convention y_l >= 0)
+            worst = None
+            worst_val = -ctl.multiplier_tol
+            for i in range(m):
+                if act_c[i] and not eq[i]:
+                    v = yh[i] * (1 if sig_c[i] < 0 else -1)
+                    if v < worst_val:
+                        worst_val = v
+                        worst = ("c", i)
+            for j in range(n):
+                if act_b[j] and not fx[j]:
+                    v = zh[j] * (1 if sig_b[j] < 0 else -1)
+                    if v < worst_val:
+                        worst_val = v
+                        worst = ("b", j)
+            if worst is None:
+                status = int(Status.OK)
+                break
+            kind, idx = worst
+            if kind == "c":
+                act_c[idx] = False
+                sig_c[idx] = 0
+            else:
+                act_b[idx] = False
+                sig_b[idx] = 0
+            continue
+
+        # ratio test: largest alpha <= 1 keeping feasibility
+        xh = np.asarray(x)
+        dxh = np.asarray(dx)
+        alpha = 1.0
+        blocker = None
+        if m:
+            Ax = np.asarray(qp.Ax(x))
+            Adx = np.asarray(qp.Ax(dx))
+            cl = np.asarray(qp.c_l)
+            cu = np.asarray(qp.c_u)
+            for i in range(m):
+                if act_c[i]:
+                    continue
+                if Adx[i] < -1e-14 and cl[i] > -ctl.infinity:
+                    a = (cl[i] - Ax[i]) / Adx[i]
+                    if a < alpha:
+                        alpha, blocker = a, ("c", i, -1)
+                if Adx[i] > 1e-14 and cu[i] < ctl.infinity:
+                    a = (cu[i] - Ax[i]) / Adx[i]
+                    if a < alpha:
+                        alpha, blocker = a, ("c", i, 1)
+        xl = np.asarray(qp.x_l)
+        xu = np.asarray(qp.x_u)
+        for j in range(n):
+            if act_b[j]:
+                continue
+            if dxh[j] < -1e-14 and xl[j] > -ctl.infinity:
+                a = (xl[j] - xh[j]) / dxh[j]
+                if a < alpha:
+                    alpha, blocker = a, ("b", j, -1)
+            if dxh[j] > 1e-14 and xu[j] < ctl.infinity:
+                a = (xu[j] - xh[j]) / dxh[j]
+                if a < alpha:
+                    alpha, blocker = a, ("b", j, 1)
+
+        x = x + jnp.asarray(max(alpha, 0.0), dt) * dx
+        if blocker is not None:
+            kind, idx, sig = blocker
+            if kind == "c":
+                act_c[idx] = True
+                sig_c[idx] = sig
+            else:
+                act_b[idx] = True
+                sig_b[idx] = sig
+
+    obj = 0.5 * x @ (H @ x) + qp.g @ x + qp.f
+    c_stat = jnp.asarray(np.where(act_c, sig_c, 0), jnp.int32)
+    b_stat = jnp.asarray(np.where(act_b, sig_b, 0), jnp.int32)
+    return QPAInfo(x=x, y=y, z=z, obj=obj, status=status, iter=it,
+                   c_stat=c_stat, b_stat=b_stat)
+
+
+def qpc_solve(qp: QP, ipm_ctl=None, qpa_ctl: QPAControl = QPAControl()):
+    """QPC composite (reference src/qpc/qpc.f90): interior-point solve
+    first, then an active-set clean-up warm-started from the IPM's
+    active-set prediction — yields a basic ("crossed-over") solution."""
+    from .ipm import IPMControl, ipm_solve
+
+    ipm_ctl = ipm_ctl or IPMControl()
+    x, y, z, st = ipm_solve(qp, ipm_ctl)
+
+    # IPM indicator: primal distance to bound vs dual magnitude
+    masks = classify_bounds(qp, qpa_ctl.infinity)
+    tol = 1e-6
+    on_lo = (jnp.abs(x - qp.x_l) < tol) & masks.has_xl
+    on_hi = (jnp.abs(qp.x_u - x) < tol) & masks.has_xu
+    b_stat0 = jnp.where(on_lo, -1, jnp.where(on_hi, 1, 0))
+    if qp.m:
+        c = qp.Ax(x)
+        on_cl = (jnp.abs(c - qp.c_l) < tol) & masks.has_cl
+        on_cu = (jnp.abs(qp.c_u - c) < tol) & masks.has_cu
+        c_stat0 = jnp.where(on_cl, -1, jnp.where(on_cu, 1, 0))
+    else:
+        c_stat0 = jnp.zeros(0, jnp.int32)
+    return qpa_solve(qp, x0=x, c_stat0=c_stat0, b_stat0=b_stat0, ctl=qpa_ctl)
