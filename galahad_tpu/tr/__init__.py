@@ -7,3 +7,5 @@ from .lstr import (  # noqa: F401
     L2RTControl, LSRTControl, LSTRControl, LSTRInfo,
     l2rt_solve, lsrt_solve, lstr_solve,
 )
+from .llst import LLSTControl, LLSTInfo, llst_solve, lls_solve  # noqa: F401
+from .lqr import LQRControl, LQRInfo, lqr_solve, lqt_solve  # noqa: F401
