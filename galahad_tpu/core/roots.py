@@ -57,8 +57,18 @@ def roots_quadratic(a0, a1, a2, tol: float = _EPS):
     inf = jnp.asarray(jnp.inf, dt)
 
     disc = a1 * a1 - 4.0 * a2 * a0
-    is_quad = jnp.abs(a2) > tol
-    is_lin = ~is_quad & (jnp.abs(a1) > tol)
+    # degree classification is *relative* to the coefficient scale so
+    # badly scaled polynomials are not demoted (ROOTS_quadratic treats
+    # the leading coefficient relative to the data, roots.f90:396)
+    scale = jnp.maximum(jnp.maximum(jnp.abs(a0), jnp.abs(a1)), jnp.abs(a2))
+    is_quad = jnp.abs(a2) > tol * scale
+    is_lin = ~is_quad & (jnp.abs(a1) > tol * scale)
+    # a discriminant that rounds slightly negative is a (near-)double
+    # root, not "no real roots" (ROOTS_quadratic |disc|~0 handling)
+    disc_scale = a1 * a1 + 4.0 * jnp.abs(a2 * a0)
+    disc = jnp.where(
+        (disc < 0) & (disc >= -tol * jnp.maximum(disc_scale, 1.0)),
+        0.0, disc)
 
     sq = jnp.sqrt(jnp.maximum(disc, 0.0))
     q = -0.5 * (a1 + jnp.where(a1 >= 0, sq, -sq))

@@ -106,10 +106,28 @@ def cro_crossover(qp: QP, x, y, z, ctl: CROControl = CROControl()) -> CROInfo:
                                        r_act, rcond=None)
             xh[free] += corr
 
+    # the min-norm correction may push "free" variables outside their
+    # own box: re-project onto [x_l, x_u] and flag if the active general
+    # constraints can then no longer be met (cro.f90 keeps all iterates
+    # primal feasible throughout the crossover)
+    purify_failed = False
+    finite_lo = np.asarray(masks.has_xl)
+    finite_hi = np.asarray(masks.has_xu)
+    out_lo = finite_lo & (xh < xl - ctl.feas_tol * (1 + np.abs(xl)))
+    out_hi = finite_hi & (xh > xu + ctl.feas_tol * (1 + np.abs(xu)))
+    if out_lo.any() or out_hi.any():
+        xh = np.where(finite_lo, np.maximum(xh, xl), xh)
+        xh = np.where(finite_hi, np.minimum(xh, xu), xh)
+        if act_c0.size:
+            resid = np.abs(target - A[act_c0] @ xh)
+            if resid.max(initial=0.0) > ctl.feas_tol * (
+                    1 + np.abs(target).max(initial=0.0)):
+                purify_failed = True
+
     Hx_g = np.asarray(qp.Hx(jnp.asarray(xh, dt)) + qp.g, np.float64)
 
     dependent = 0
-    status = int(Status.OK)
+    status = int(Status.TINY_STEP) if purify_failed else int(Status.OK)
     for _ in range(ctl.max_sweeps):
         act_c = np.nonzero(c_sig != 0)[0]
         act_b = np.nonzero(b_sig != 0)[0]

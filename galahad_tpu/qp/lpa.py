@@ -44,13 +44,22 @@ class LPAInfo:
     basis: Any            # indices of basic variables (extended space)
 
 
-def _bounded_simplex(g, A, b, lo, hi, basis, ctl):
+def _bounded_simplex(g, A, b, lo, hi, basis, ctl, v=None, at_lo=None):
     """Bounded-variable revised simplex, min g'v, Av = b, lo<=v<=hi.
     ``basis``: initial basic index set (len m).  Nonbasic variables sit
-    on a finite bound (at lo where finite, else hi, else 0)."""
+    on a finite bound (at lo where finite, else hi, else 0).  ``v`` /
+    ``at_lo`` carry the bound-flip state between phases; if omitted a
+    cold nonbasic point is derived from the bounds."""
     m, n = A.shape
-    v = np.where(np.isfinite(lo), lo, np.where(np.isfinite(hi), hi, 0.0))
-    at_lo = np.isfinite(lo) | ~np.isfinite(hi)
+    if v is None:
+        v = np.where(np.isfinite(lo), lo,
+                     np.where(np.isfinite(hi), hi, 0.0))
+    else:
+        v = np.array(v, np.float64, copy=True)
+    if at_lo is None:
+        at_lo = np.isfinite(lo) | ~np.isfinite(hi)
+    else:
+        at_lo = np.array(at_lo, bool, copy=True)
 
     basis = list(basis)
     nonbasic = [j for j in range(n) if j not in set(basis)]
@@ -59,26 +68,24 @@ def _bounded_simplex(g, A, b, lo, hi, basis, ctl):
         try:
             Binv_b = np.linalg.solve(B, b - A[:, nonbasic] @ v[nonbasic])
         except np.linalg.LinAlgError:
-            return v, None, it, int(Status.FACTORIZATION), basis
+            return v, None, it, int(Status.FACTORIZATION), basis, at_lo
         v[basis] = Binv_b
         # duals & reduced costs
         yv = np.linalg.solve(B.T, g[basis])
         rc = g[nonbasic] - A[:, nonbasic].T @ yv
-        # entering: Bland's rule on violated sign (free nonbasic
-        # variables may move either way)
+        # entering: Bland's rule — smallest eligible *variable index*
+        # (not list order, which mutates under pivots) for anti-cycling
         enter_pos = None
+        enter_var = n + 1
         for k, j in enumerate(nonbasic):
             free = not (np.isfinite(lo[j]) or np.isfinite(hi[j]))
-            if (at_lo[j] or free) and rc[k] < -ctl.tol:
-                enter_pos = k
-                direction = 1.0
-                break
-            if ((not at_lo[j]) or free) and rc[k] > ctl.tol:
-                enter_pos = k
-                direction = -1.0
-                break
+            if (at_lo[j] or free) and rc[k] < -ctl.tol and j < enter_var:
+                enter_pos, enter_var, direction = k, j, 1.0
+            elif ((not at_lo[j]) or free) and rc[k] > ctl.tol \
+                    and j < enter_var:
+                enter_pos, enter_var, direction = k, j, -1.0
         if enter_pos is None:
-            return v, yv, it, int(Status.OK), basis
+            return v, yv, it, int(Status.OK), basis, at_lo
         j = nonbasic[enter_pos]
         d = np.linalg.solve(B, A[:, j]) * direction
         # ratio test on basic variables and the entering variable's
@@ -96,7 +103,7 @@ def _bounded_simplex(g, A, b, lo, hi, basis, ctl):
                 if a < alpha - 1e-15:
                     alpha, leave = a, (i, 1)
         if not np.isfinite(alpha):
-            return v, yv, it, int(Status.UNBOUNDED), basis
+            return v, yv, it, int(Status.UNBOUNDED), basis, at_lo
         v[j] += direction * alpha
         v[basis] -= alpha * d
         if leave is not None:
@@ -108,7 +115,7 @@ def _bounded_simplex(g, A, b, lo, hi, basis, ctl):
             nonbasic[enter_pos] = bi
         else:
             at_lo[j] = not at_lo[j]
-    return v, None, ctl.maxit, int(Status.MAX_ITERATIONS), basis
+    return v, None, ctl.maxit, int(Status.MAX_ITERATIONS), basis, at_lo
 
 
 def lpa_solve(qp: QP, ctl: LPAControl = LPAControl()) -> LPAInfo:
@@ -162,7 +169,7 @@ def lpa_solve(qp: QP, ctl: LPAControl = LPAControl()) -> LPAInfo:
     g1 = np.concatenate([np.zeros(n + m), np.sign(r0) + (r0 == 0)])
     basis = list(range(n + m, n + 2 * m))
     if m:
-        v1, _, it1, st1, basis = _bounded_simplex(
+        v1, _, it1, st1, basis, at_lo1 = _bounded_simplex(
             g1, A1, b, lo1, hi1, basis, ctl)
         if st1 != int(Status.OK) or np.sum(np.abs(v1[n + m:])) > 1e-7:
             import jax.numpy as jnp
@@ -171,13 +178,26 @@ def lpa_solve(qp: QP, ctl: LPAControl = LPAControl()) -> LPAInfo:
                            status=int(Status.PRIMAL_INFEASIBLE), iter=it1,
                            basis=np.asarray(basis))
         # drive artificials out of the basis where possible; keep with
-        # zero bounds otherwise
+        # zero bounds otherwise.  Phase 2 inherits v/at_lo from phase 1
+        # so its bound-flip state (and hence feasibility) is preserved.
         lo1[n + m:] = 0.0
         hi1[n + m:] = 0.0
+        v1[n + m:] = 0.0
         g2 = np.concatenate([g_e, np.zeros(m)])
-        v2, yv, it2, st2, basis = _bounded_simplex(
-            g2, A1, b, lo1, hi1, basis, ctl)
+        v2, yv, it2, st2, basis, _ = _bounded_simplex(
+            g2, A1, b, lo1, hi1, basis, ctl, v=v1, at_lo=at_lo1)
         iters = it1 + it2
+        if st2 == int(Status.OK):
+            # guard: verify primal feasibility of the claimed optimum
+            ftol = 1e-6 * (1.0 + np.abs(b).max(initial=0.0)
+                           + np.abs(v2[:n + m]).max(initial=0.0))
+            lo_ok = np.all(v2[:n + m] >= np.where(np.isfinite(lo), lo,
+                                                  -np.inf) - ftol)
+            hi_ok = np.all(v2[:n + m] <= np.where(np.isfinite(hi), hi,
+                                                  np.inf) + ftol)
+            res_ok = np.abs(A1 @ v2 - b).max(initial=0.0) <= ftol
+            if not (lo_ok and hi_ok and res_ok):
+                st2 = int(Status.PRIMAL_INFEASIBLE)
     else:
         v2 = v0
         yv = np.zeros(0)

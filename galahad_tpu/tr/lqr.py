@@ -63,7 +63,9 @@ def _krylov_setup(matvec, b, prec, ctl):
     diag = jnp.where(active, alphas, 1.0e12)
     off = jnp.where(idx[:-1] < k - 1, betas[:-1], 0.0)
     T = jnp.diag(diag) + jnp.diag(off, 1) + jnp.diag(off, -1)
-    c_t = jnp.zeros((itmax,), b.dtype).at[0].set(gamma0)
+    # _lanczos runs on -b, so b = -gamma0 * v1 and the reduced linear
+    # term is b'(V'h) = -gamma0 * h1 (same convention as gltr.py).
+    c_t = jnp.zeros((itmax,), b.dtype).at[0].set(-gamma0)
     return V, T, c_t, betas, gamma0, k, active
 
 

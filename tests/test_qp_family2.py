@@ -163,6 +163,37 @@ class TestLPA:
         info = lpa_solve(lp)
         np.testing.assert_allclose(np.asarray(info.x), [1.0, 0.0], atol=1e-9)
 
+    def test_random_lp_stress_vs_linprog(self):
+        """Phase-2 must inherit phase-1 bound-flip state: random two-sided
+        LPs cross-checked for feasibility + optimality against scipy."""
+        from scipy.optimize import linprog
+        rng = np.random.default_rng(7)
+        for trial in range(12):
+            n, m = 6, 4
+            A = rng.normal(size=(m, n))
+            g = rng.normal(size=n)
+            x0 = rng.uniform(-1, 1, size=n)
+            c0 = A @ x0
+            cl = c0 - rng.uniform(0, 1, size=m)
+            cu = c0 + rng.uniform(0, 1, size=m)
+            xl = x0 - rng.uniform(0, 2, size=n)
+            xu = x0 + rng.uniform(0, 2, size=n)
+            lp = QP(H=None, h_kind="zero", g=jnp.asarray(g),
+                    A=jnp.asarray(A), c_l=jnp.asarray(cl),
+                    c_u=jnp.asarray(cu), x_l=jnp.asarray(xl),
+                    x_u=jnp.asarray(xu))
+            info = lpa_solve(lp)
+            assert info.status == int(Status.OK), f"trial {trial}"
+            x = np.asarray(info.x)
+            assert np.all(x >= xl - 1e-7) and np.all(x <= xu + 1e-7)
+            c = A @ x
+            assert np.all(c >= cl - 1e-7) and np.all(c <= cu + 1e-7)
+            ref = linprog(g, A_ub=np.vstack([A, -A]),
+                          b_ub=np.concatenate([cu, -cl]),
+                          bounds=list(zip(xl, xu)), method="highs")
+            assert ref.success
+            assert info.obj == pytest.approx(ref.fun, abs=1e-6)
+
 
 class TestCRO:
     def test_purifies_ipm_solution(self):

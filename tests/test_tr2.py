@@ -90,6 +90,19 @@ class TestLQR:
         info = lqr_solve(lambda v: H @ v, c, radius,
                          ctl=LQRControl(itmax=12))
         assert float(info.obj) == pytest.approx(float(exact.obj), abs=1e-6)
+        # the *point* must match too, not just obj (obj is invariant
+        # under the c -> -c mirror, which once hid a sign bug)
+        np.testing.assert_allclose(np.asarray(info.x), np.asarray(exact.x),
+                                   atol=1e-5)
+        model = 0.5 * info.x @ (H @ info.x) + c @ info.x
+        assert float(model) == pytest.approx(float(exact.obj), abs=1e-6)
+
+    def test_lqt_point_matches_rqs(self):
+        H, c = self._problem(seed=5)
+        exact = rqs_solve(H, c, 2.0)
+        info = lqt_solve(lambda v: H @ v, c, 2.0, ctl=LQRControl(itmax=12))
+        np.testing.assert_allclose(np.asarray(info.x), np.asarray(exact.x),
+                                   atol=1e-5)
 
     def test_lqt_matches_rqs(self):
         H, c = self._problem(seed=1)
