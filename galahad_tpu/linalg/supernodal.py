@@ -1,4 +1,4 @@
-"""Supernodal multifrontal Cholesky on TPU (SSIDS-class).
+"""Supernodal multifrontal LDL^T / Cholesky on TPU (SSIDS-class).
 
 TPU-native re-design of the reference's bundled SPRAL SSIDS
 (reference src/ssids/ssids.f90: analyse :503, factor :736, solve :1114;
@@ -6,28 +6,37 @@ CPU kernels src/ssids/ldlt_app.cxx, cholesky.cxx; GPU kernels
 assemble.cu / dense_factor.cu / syrk.cu — SURVEY §3.4), restructured for
 XLA instead of translated:
 
-  * ANALYSE (host, numpy + native C++): fill-reducing order (AMD/RCM,
-    native/symbolic.cpp), elimination tree, symbolic factorization,
-    fundamental supernodes with relaxed amalgamation, and a bottom-up
-    LEVEL SCHEDULE of the assembly tree.
+  * ANALYSE (host, native C++ + numpy): fill-reducing order (quotient-
+    graph approximate minimum degree / RCM, native/symbolic.cpp),
+    elimination tree + column counts + full L pattern by the row-walk
+    algorithm (native symbolic_factor), fundamental supernodes with
+    relaxed amalgamation, and a bottom-up LEVEL SCHEDULE of the
+    assembly tree.  All index maps (A-entry scatter, child extend-add
+    row maps) are precomputed as flat numpy arrays.
   * FACTOR (device, one jitted program): levels run sequentially; all
     supernodes within a level factor as ONE batched dense partial
-    Cholesky on fronts padded to the level's maximum size — vmapped
-    potrf/trsm/syrk, i.e. MXU work (this replaces the OpenMP task-DAG /
+    LDL^T on fronts padded to the level's maximum size.  The partial
+    factorization is right-looking and blocked: a rank-1 column loop
+    inside each width-B panel, then one batched SYRK/GEMM trailing
+    update per panel — MXU work (this replaces the OpenMP task-DAG /
     CUDA-subtree parallelism of the reference with batch parallelism,
-    SURVEY §5.7).  Frontal assembly and child extended-add are
-    precomputed scatter indices.
-  * Pivoting: none at numeric time (TPU kernels cannot reorder
-    dynamically) — the analyse-time ordering plus an optional diagonal
-    shift and iterative refinement replace threshold pivoting
-    (SURVEY §7.3); intended for SPD / quasi-definite systems, which is
-    what every IPM/TR KKT matrix here is.
-  * SOLVE (device): per-level batched gather -> triangular solves ->
-    scatter, forward then backward.
+    SURVEY §5.7).  Child extend-add is one gather + one scatter-add
+    per (level, child-level) pair.
+  * LDL^T everywhere: the diagonal D carries signs, so symmetric
+    QUASI-DEFINITE systems (every IPM / TR KKT matrix here) factor
+    without pivoting, and the INERTIA is the sign count of D
+    (SLS_enquire role; reference src/ssids/ldlt_app.cxx pivoting is
+    replaced by analyse-time ordering + caller-supplied regularization
+    + iterative refinement + a-posteriori |d|_min monitoring,
+    SURVEY §7.3).
+  * SOLVE (device): per-level batched gather -> blocked unit-triangular
+    solves (lax.linalg.triangular_solve) + panel matmuls -> scatter,
+    forward then backward, with the diagonal scaling between sweeps.
 """
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Any
 
 import numpy as np
@@ -37,62 +46,75 @@ import jax.numpy as jnp
 from jax import lax
 
 
+def _round_up(x: int, m: int) -> int:
+    return -(-int(x) // m) * m
+
+
 # ---------------------------------------------------------------------------
 # Symbolic analysis (host)
 # ---------------------------------------------------------------------------
 
 
 @dataclasses.dataclass
+class LevelPlan:
+    """Static per-level factorization plan (numpy, consumed at trace time)."""
+
+    frows: np.ndarray        # (nb, Fpad) global rows of each front, -1 pad
+    ncols: np.ndarray        # (nb,) eliminated columns per front
+    nrows: np.ndarray        # (nb,) true front size
+    Cmax: int                # max ncols in level
+    Fpad: int                # padded front size (multiple of 8, >= nblocks*B)
+    B: int                   # panel width
+    a_node: np.ndarray       # A-entry scatter: local node index
+    a_fi: np.ndarray         #   row position in front
+    a_fj: np.ndarray         #   col position in front
+    a_src: np.ndarray        #   index into the user's value array
+    ea: list                 # extend-add groups: dicts with
+    #   src_level, src_nodes (nc,), dst_nodes (nc,),
+    #   cpos (nc, Umax) child-front positions of update rows,
+    #   ppos (nc, Umax) parent-front positions (pad -> Fpad, dropped),
+    #   uvalid (nc, Umax)
+
+
+@dataclasses.dataclass
 class SupernodalSymbolic:
-    """Static factorization plan (all numpy, consumed at trace time)."""
+    """Static factorization plan (host side; hashed by identity so one
+    plan traces once under jit)."""
 
     n: int
     perm: np.ndarray              # new <- old column index
     iperm: np.ndarray
-    levels: list                  # list of dicts, one per level (below)
-    snode_of_level: list          # supernode ids per level
-    a_entries: tuple              # (rows, cols) of the A-lower pattern
+    levels: list                  # list[LevelPlan], bottom-up
     nnz_L: int
     flops: float
+    ns: int
 
+    def __hash__(self):
+        return id(self)
 
-def _symbolic_cholesky(n, adj_lower):
-    """Column structures of L (python sets; host-side).  adj_lower[j] =
-    sorted rows i > j with A[i, j] != 0."""
-    parent = np.full(n, -1, np.int64)
-    struct = [None] * n
-    # up-looking with child merging via first-parent rule
-    children = [[] for _ in range(n)]
-    for j in range(n):
-        s = set(adj_lower[j])
-        for c in children[j]:
-            s |= struct[c] - {j}
-        s.discard(j)
-        struct[j] = s
-        if s:
-            p = min(s)
-            parent[j] = p
-            children[p].append(j)
-    return struct, parent
+    def __eq__(self, other):
+        return self is other
 
 
 def supernodal_analyse(rows, cols, n, order: str = "amd",
                        relax_cols: int = 4) -> SupernodalSymbolic:
     """Analyse a symmetric sparsity pattern given in coordinate form
-    (either triangle; duplicates fine).  Host-side."""
+    (either triangle; duplicate entries are summed at numeric time).
+    Host-side; heavy graph work runs in native C++
+    (native/symbolic.cpp — the SSIDS analyse role, src/ssids/anal.f90)."""
+    import scipy.sparse as sp
+
     from ..native import (
         amd_order,
         rcm_order,
         supernode_partition,
+        symbolic_factor,
         tree_levels,
     )
 
     rows = np.asarray(rows, np.int64)
     cols = np.asarray(cols, np.int64)
-    # full symmetric adjacency (CSR) for ordering
-    import scipy.sparse as sp
-
-    ones = np.ones(len(rows))
+    ones = np.ones(len(rows), np.int8)
     A = sp.csr_matrix((ones, (rows, cols)), shape=(n, n))
     A = ((A + A.T) > 0).astype(np.int8).tocsr()
     if order == "amd":
@@ -105,285 +127,379 @@ def supernodal_analyse(rows, cols, n, order: str = "amd",
     iperm = np.zeros(n, np.int64)
     iperm[perm] = np.arange(n)
 
-    Ap = A[perm][:, perm].tocsc()
-    adj_lower = [Ap.indices[Ap.indptr[j]:Ap.indptr[j + 1]] for j in range(n)]
-    adj_lower = [sorted(int(i) for i in a if i > j)
-                 for j, a in enumerate(adj_lower)]
+    Al = sp.tril(A[perm][:, perm]).tocsc()
+    parent, colcount, Lp, Li = symbolic_factor(
+        Al.indptr.astype(np.int64), Al.indices.astype(np.int32), n)
+    snode, ns = supernode_partition(parent, colcount, relax_cols=relax_cols)
+    snode = snode.astype(np.int64)
 
-    struct, parent = _symbolic_cholesky(n, adj_lower)
-    colcount = np.array([len(s) + 1 for s in struct], np.int32)
-    snode, ns = supernode_partition(parent.astype(np.int32), colcount,
-                                    relax_cols=relax_cols)
+    # supernode column ranges (snode ids ascend with columns)
+    sn_first = np.searchsorted(snode, np.arange(ns))
+    sn_end = np.searchsorted(snode, np.arange(ns), side="right")
 
-    # supernode meta
-    sn_cols = [[] for _ in range(ns)]
-    for j in range(n):
-        sn_cols[snode[j]].append(j)
-    sn_first = [c[0] for c in sn_cols]
+    # per-supernode struct rows (below the supernode's columns)
     sn_struct = []
     for s in range(ns):
-        cset = set(sn_cols[s])
-        r = set()
-        for j in sn_cols[s]:
-            r |= struct[j]
-        sn_struct.append(sorted(r - cset))
+        j0, j1 = int(sn_first[s]), int(sn_end[s])
+        seg = Li[Lp[j0]:Lp[j1]]
+        if len(seg):
+            u = np.unique(seg)
+            u = u[u >= j1]
+        else:
+            u = np.zeros(0, np.int32)
+        sn_struct.append(u.astype(np.int64))
+    struct_len = np.array([len(u) for u in sn_struct], np.int64)
+
     sparent = np.full(ns, -1, np.int32)
     for s in range(ns):
-        if sn_struct[s]:
+        if struct_len[s]:
             sparent[s] = snode[sn_struct[s][0]]
     level_of, nlev = tree_levels(sparent)
 
-    # per-level plans
-    # lower-triangle convention in the PERMUTED ordering: row >= col
-    a_rows = np.maximum(iperm[rows], iperm[cols])
-    a_cols = np.minimum(iperm[rows], iperm[cols])
-    # deduplicate COO (sum duplicates at numeric time is fine: keep all)
-    lev_nodes = [
-        [s for s in range(ns) if level_of[s] == l] for l in range(nlev)
-    ]
-    # global position of each column inside its supernode front
-    front_rows_of = {}
-    for s in range(ns):
-        front_rows_of[s] = sn_cols[s] + sn_struct[s]
+    nc_all = sn_end - sn_first
+    nf_all = nc_all + struct_len
+    nnz_L = int(np.sum(nc_all * nf_all - nc_all * (nc_all - 1) // 2))
+    flops = float(np.sum(nc_all.astype(float) ** 3 / 3
+                         + nc_all.astype(float) ** 2 * struct_len
+                         + nc_all * struct_len.astype(float) ** 2))
 
-    levels = []
-    nnz_L = 0
-    flops = 0.0
-    sn_level_idx = {}
-    for l, nodes in enumerate(lev_nodes):
-        if not nodes:
-            levels.append(None)
-            continue
-        Fmax = max(len(front_rows_of[s]) for s in nodes)
-        Cmax = max(len(sn_cols[s]) for s in nodes)
-        nb = len(nodes)
-        frows = np.full((nb, Fmax), -1, np.int64)
-        ncols = np.zeros(nb, np.int64)
-        nrows = np.zeros(nb, np.int64)
-        for k, s in enumerate(nodes):
-            fr = front_rows_of[s]
-            frows[k, :len(fr)] = fr
-            ncols[k] = len(sn_cols[s])
-            nrows[k] = len(fr)
-            sn_level_idx[s] = (l, k)
-            nnz_L += len(sn_cols[s]) * len(fr) - len(sn_cols[s]) * (
-                len(sn_cols[s]) - 1) // 2
-            nc, nf = len(sn_cols[s]), len(fr)
-            flops += nc**3 / 3 + nc**2 * (nf - nc) + nc * (nf - nc) ** 2
-        # A-entry scatter: entries (i, j) with snode[j] == s -> front pos
-        pos_in_front = [
-            {g: i for i, g in enumerate(front_rows_of[s])} for s in nodes
-        ]
-        node_of = {s: k for k, s in enumerate(nodes)}
-        sel = [t for t in range(len(a_rows))
-               if snode[a_cols[t]] in node_of]
-        a_node = np.array([node_of[snode[a_cols[t]]] for t in sel], np.int64)
-        a_fi = np.array([pos_in_front[node_of[snode[a_cols[t]]]][a_rows[t]]
-                         for t in sel], np.int64)
-        a_fj = np.array(
-            [pos_in_front[node_of[snode[a_cols[t]]]][a_cols[t]]
-             for t in sel], np.int64)
-        a_src = np.array(sel, np.int64)
-        # NOTE: a_rows >= a_cols (lower), and a_cols is in the supernode's
-        # leading columns, so fj < ncols — valid partial-factor layout.
-        levels.append(dict(
-            nodes=nodes, Fmax=Fmax, Cmax=Cmax,
-            frows=frows, ncols=ncols, nrows=nrows,
-            a_node=a_node, a_fi=a_fi, a_fj=a_fj, a_src=a_src,
-            child_maps=[],       # filled below
-        ))
+    lev_nodes = [np.flatnonzero(level_of == l) for l in range(nlev)]
+    node_pos = np.zeros(ns, np.int64)
+    for nd in lev_nodes:
+        node_pos[nd] = np.arange(len(nd))
 
-    # child extended-add maps: child s (level lc) update goes to parent
-    # p (level lp > lc): positions of child's non-eliminated rows in the
-    # parent's front
+    def pos_in_front(s: int, g: np.ndarray) -> np.ndarray:
+        """Positions of global rows g (sorted or not) in front of s."""
+        incol = g < sn_end[s]
+        p_col = g - sn_first[s]
+        p_str = nc_all[s] + np.searchsorted(sn_struct[s], g)
+        return np.where(incol, p_col, p_str)
+
+    # --- A-entry scatter maps, grouped by owning supernode -> level ----
+    a_r = np.maximum(iperm[rows], iperm[cols])
+    a_c = np.minimum(iperm[rows], iperm[cols])
+    s_of = snode[a_c]
+    ordr = np.argsort(s_of, kind="stable")
+    e_node = np.zeros(len(a_r), np.int32)
+    e_fi = np.zeros(len(a_r), np.int32)
+    e_fj = np.zeros(len(a_r), np.int32)
+    uniq, starts = np.unique(s_of[ordr], return_index=True)
+    bounds = np.append(starts, len(ordr))
+    for k, s in enumerate(uniq):
+        sel = ordr[bounds[k]:bounds[k + 1]]
+        e_node[sel] = node_pos[s]
+        e_fi[sel] = pos_in_front(int(s), a_r[sel])
+        e_fj[sel] = a_c[sel] - sn_first[s]
+    e_level = level_of[s_of]
+
+    # --- extend-add maps, grouped by (dst level, src level) ------------
+    ea_groups: dict = {}
     for s in range(ns):
         p = sparent[s]
-        if p < 0:
+        if p < 0 or struct_len[s] == 0:
             continue
-        lc, kc = sn_level_idx[s]
-        lp, kp = sn_level_idx[p]
-        child_up_rows = sn_struct[s]                # global rows of update
-        ppos = {g: i for i, g in enumerate(front_rows_of[p])}
-        # update matrix is square over child_up_rows (local child idx
-        # offset by ncols_child)
-        nupd = len(child_up_rows)
-        if nupd == 0:
-            continue
-        ci, cj, pi, pj = [], [], [], []
-        for a in range(nupd):
-            for b in range(nupd):
-                ga, gb = child_up_rows[a], child_up_rows[b]
-                if ga in ppos and gb in ppos:
-                    ci.append(a)
-                    cj.append(b)
-                    pi.append(ppos[ga])
-                    pj.append(ppos[gb])
-        levels[lp]["child_maps"].append(dict(
-            src_level=lc, src_node=kc, dst_node=kp,
-            ci=np.array(ci, np.int64), cj=np.array(cj, np.int64),
-            pi=np.array(pi, np.int64), pj=np.array(pj, np.int64),
-            child_ncols=len(sn_cols[s]),
+        key = (int(level_of[p]), int(level_of[s]))
+        g = ea_groups.setdefault(key, dict(src=[], dst=[], cpos=[], ppos=[]))
+        g["src"].append(node_pos[s])
+        g["dst"].append(node_pos[p])
+        g["cpos"].append(nc_all[s] + np.arange(struct_len[s]))
+        g["ppos"].append(pos_in_front(int(p), sn_struct[s]))
+
+    levels: list = []
+    for l in range(nlev):
+        nodes = lev_nodes[l]
+        nb = len(nodes)
+        ncols = nc_all[nodes]
+        nrows = nf_all[nodes]
+        Cmax = int(ncols.max()) if nb else 1
+        Fmax = int(nrows.max()) if nb else 1
+        B = min(32, _round_up(Cmax, 8))
+        Fpad = _round_up(max(Fmax, _round_up(Cmax, B)), 8)
+        frows = np.full((nb, Fpad), -1, np.int32)
+        for k, s in enumerate(nodes):
+            fr = np.concatenate(
+                [np.arange(sn_first[s], sn_end[s]), sn_struct[s]])
+            frows[k, :len(fr)] = fr
+        sel = np.flatnonzero(e_level == l)
+        ea = []
+        for (dl, sl), g in sorted(ea_groups.items()):
+            if dl != l:
+                continue
+            Umax = max(len(c) for c in g["cpos"])
+            nc = len(g["src"])
+            cpos = np.zeros((nc, Umax), np.int32)
+            ppos = np.full((nc, Umax), Fpad, np.int32)   # pad -> dropped
+            uvalid = np.zeros((nc, Umax), bool)
+            for k in range(nc):
+                u = len(g["cpos"][k])
+                cpos[k, :u] = g["cpos"][k]
+                ppos[k, :u] = g["ppos"][k]
+                uvalid[k, :u] = True
+            ea.append(dict(
+                src_level=sl,
+                src_nodes=np.asarray(g["src"], np.int32),
+                dst_nodes=np.asarray(g["dst"], np.int32),
+                cpos=cpos, ppos=ppos, uvalid=uvalid,
+            ))
+        levels.append(LevelPlan(
+            frows=frows, ncols=ncols.astype(np.int32),
+            nrows=nrows.astype(np.int32),
+            Cmax=Cmax, Fpad=Fpad, B=B,
+            a_node=e_node[sel], a_fi=e_fi[sel], a_fj=e_fj[sel],
+            a_src=sel.astype(np.int32), ea=ea,
         ))
 
     return SupernodalSymbolic(
         n=n, perm=perm, iperm=iperm, levels=levels,
-        snode_of_level=lev_nodes,
-        a_entries=(rows, cols), nnz_L=nnz_L, flops=flops,
+        nnz_L=nnz_L, flops=flops, ns=ns,
     )
 
 
 # ---------------------------------------------------------------------------
-# Numeric factorization + solve (device)
+# Numeric factorization (device)
 # ---------------------------------------------------------------------------
 
 
-def supernodal_factorize(sym: SupernodalSymbolic, vals, shift=0.0):
-    """Numeric Cholesky.  ``vals`` aligns with the coordinate entries
-    passed to analyse (duplicates are summed).  Returns a list of
-    per-level factor blocks (padded (nb, Fmax, Fmax) arrays: L11 lower
-    in the leading ncols columns, L21 below) for use by
-    supernodal_solve."""
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["levels", "dmin", "inertia"],
+    meta_fields=[],
+)
+@dataclasses.dataclass
+class SupernodalFactors:
+    """LDL^T factors: per level (nb, Fpad, Fpad) fronts — eliminated
+    columns hold unit-lower L with d_j stored on the diagonal; the
+    trailing square holds that front's Schur update.
+
+    dmin    = min |d_j| over all eliminated columns (a-posteriori pivot
+              monitor; the SSIDS threshold-pivot check analogue).
+    inertia = (#pos, #neg, #zero) of D — SLS_enquire equivalent
+              (reference src/sls/sls.f90:68-76)."""
+
+    levels: list
+    dmin: Any
+    inertia: Any
+
+
+def supernodal_factorize(sym: SupernodalSymbolic, vals, shift=0.0
+                         ) -> SupernodalFactors:
+    """Numeric LDL^T.  ``vals`` aligns with the coordinate entries passed
+    to analyse (duplicates summed).  ``shift`` is added to the diagonal:
+    a scalar, or an (n,)-vector in the ORIGINAL (unpermuted) ordering —
+    the signed-regularization hook for quasi-definite KKT systems."""
     vals = jnp.asarray(vals)
     dt = vals.dtype
-    factors = []
-    updates = []                      # per level: (nb, Fmax, Fmax) Schur
-    for l, plan in enumerate(sym.levels):
-        if plan is None:
-            factors.append(None)
-            updates.append(None)
-            continue
-        nb, Fmax = plan["frows"].shape
-        F = jnp.zeros((nb, Fmax, Fmax), dt)
-        # scatter A entries (lower triangle incl. diagonal)
-        if len(plan["a_src"]):
-            v = vals[plan["a_src"]]
-            # off-diagonal (i > j): also mirror for the factor panel? No:
-            # partial Cholesky only reads the lower triangle.
-            F = F.at[plan["a_node"], plan["a_fi"], plan["a_fj"]].add(v)
-        # extended-add child updates
-        for cm in plan["child_maps"]:
-            U = updates[cm["src_level"]][cm["src_node"]]
-            off = cm["child_ncols"]
-            F = F.at[cm["dst_node"], cm["pi"], cm["pj"]].add(
-                U[cm["ci"] + off, cm["cj"] + off]
-            )
-        # batched partial Cholesky of the leading ncols columns, with
-        # per-node column masking (pad to Cmax loop)
-        ncols = jnp.asarray(plan["ncols"])
-        nrows = jnp.asarray(plan["nrows"])
-        if shift:
-            eye_mask = (jnp.arange(Fmax)[None, :, None]
-                        == jnp.arange(Fmax)[None, None, :])
-            in_front = jnp.arange(Fmax)[None, :, None] < nrows[:, None, None]
-            F = F + jnp.where(eye_mask & in_front,
-                              jnp.asarray(shift, dt), 0.0)
-        F = _batched_partial_cholesky(F, ncols, nrows, plan["Cmax"])
-        factors.append(F)
-        updates.append(F)             # trailing block holds the Schur
-    return factors
+    shift_vec = None
+    if isinstance(shift, (jnp.ndarray, np.ndarray)) and np.ndim(shift) == 1:
+        shift_vec = jnp.asarray(shift, dt)[jnp.asarray(sym.perm)]
+    levels_out: list = []
+    dmin = jnp.asarray(jnp.inf, dt)
+    npos = jnp.array(0, jnp.int32)
+    nneg = jnp.array(0, jnp.int32)
+    nzero = jnp.array(0, jnp.int32)
+    for plan in sym.levels:
+        nb, Fpad = plan.frows.shape
+        F = jnp.zeros((nb, Fpad, Fpad), dt)
+        if len(plan.a_src):
+            F = F.at[jnp.asarray(plan.a_node), jnp.asarray(plan.a_fi),
+                     jnp.asarray(plan.a_fj)].add(vals[jnp.asarray(plan.a_src)])
+        ncols = jnp.asarray(plan.ncols)
+        ii = jnp.arange(Fpad)
+        # diagonal shift on the eliminated columns only (each global
+        # column is eliminated in exactly one front)
+        elim = ii[None, :] < ncols[:, None]
+        if shift_vec is not None:
+            sv = shift_vec[jnp.clip(jnp.asarray(plan.frows), 0, sym.n - 1)]
+            F = F.at[:, ii, ii].add(jnp.where(elim, sv, 0.0))
+        elif shift:
+            F = F.at[:, ii, ii].add(
+                jnp.where(elim, jnp.asarray(shift, dt), 0.0))
+        # child extend-add: one gather + one scatter-add per source level
+        for g in plan.ea:
+            U = levels_out[g["src_level"]]
+            src = jnp.asarray(g["src_nodes"])
+            cpos = jnp.asarray(g["cpos"])
+            ppos = jnp.asarray(g["ppos"])
+            valid = jnp.asarray(g["uvalid"])
+            Gm = U[src[:, None, None], cpos[:, :, None], cpos[:, None, :]]
+            Gm = jnp.where(valid[:, :, None] & valid[:, None, :], Gm, 0.0)
+            F = F.at[jnp.asarray(g["dst_nodes"])[:, None, None],
+                     ppos[:, :, None], ppos[:, None, :]].add(
+                Gm, mode="drop")
+        F, dmn, ip, ineg, iz = _blocked_partial_ldlt(
+            F, ncols, plan.Cmax, plan.B)
+        dmin = jnp.minimum(dmin, dmn)
+        npos = npos + ip
+        nneg = nneg + ineg
+        nzero = nzero + iz
+        levels_out.append(F)
+    return SupernodalFactors(
+        levels=levels_out, dmin=dmin,
+        inertia=jnp.stack([npos, nneg, nzero]),
+    )
 
 
-def _batched_partial_cholesky(F, ncols, nrows, cmax):
-    """Eliminate the leading ncols columns of each front (masked,
-    column-by-column up to the static bound cmax); the trailing block
-    becomes the Schur update.  Column loop is sequential (dependency),
-    everything inside is batched over fronts — the nodes of a level."""
-    nb, Fmax, _ = F.shape
+def _blocked_partial_ldlt(F, ncols, cmax, B):
+    """Eliminate the leading ncols columns of each front, batched over
+    the level's fronts.  Right-looking blocked: per width-B panel a
+    rank-1 column loop (on the (nb, Fpad, B) panel), then ONE batched
+    SYRK/GEMM trailing update — the MXU-shaped replacement for the
+    reference's blocked app-style LDL^T (src/ssids/ldlt_app.cxx:40) and
+    CUDA partial factor (src/spral/dense_factor.cu:22-35)."""
+    nb, Fpad, _ = F.shape
     dt = F.dtype
-    eps = jnp.finfo(dt).tiny
+    tiny = jnp.asarray(np.finfo(np.dtype(dt.name)).tiny * 16, dt)
+    nblocks = -(-cmax // B)
+    ii = jnp.arange(Fpad)
+    jB = jnp.arange(B)
 
-    idx = jnp.arange(Fmax)
+    def block_step(bi, carry):
+        F, dmin, npos, nneg, nzero = carry
+        b = bi * B
+        P = lax.dynamic_slice(F, (0, 0, b), (nb, Fpad, B))
 
-    def col_step(j, F):
-        active = j < ncols                     # (nb,)
-        d = F[:, j, j]
-        d = jnp.where(active & (d > 0), d, 1.0)
-        piv = jnp.sqrt(d)
-        colj = F[:, :, j] / piv[:, None]       # (nb, Fmax)
-        rows_ok = idx[None, :] >= j            # at/below diagonal
-        in_front = idx[None, :] < nrows[:, None]
-        colj = jnp.where(rows_ok & in_front, colj, 0.0)
-        colj = colj.at[:, j].set(piv)
-        # rank-1 Schur update of the trailing submatrix (cols > j)
-        upd = colj[:, :, None] * colj[:, None, :]
-        cols_after = idx[None, None, :] > j
-        rows_after = idx[None, :, None] > j
-        Fnew = F - jnp.where(cols_after & rows_after, upd, 0.0)
-        # write the factor column
-        Fnew = Fnew.at[:, :, j].set(colj)
-        return jnp.where(active[:, None, None], Fnew, F)
+        def col_step(j, carry):
+            P, dmin, npos, nneg, nzero = carry
+            gcol = b + j
+            active = gcol < ncols                          # (nb,)
+            col = lax.dynamic_slice(P, (0, 0, j), (nb, Fpad, 1))[..., 0]
+            d = lax.dynamic_slice(P, (0, 0, j), (nb, Fpad, 1))
+            d = jnp.sum(jnp.where((ii == gcol)[None, :, None], d, 0.0),
+                        axis=(1, 2))                       # (nb,) diag value
+            absd = jnp.abs(d)
+            dmin = jnp.minimum(
+                dmin, jnp.min(jnp.where(active, absd, jnp.inf), initial=jnp.inf))
+            npos = npos + jnp.sum(active & (d > 0)).astype(jnp.int32)
+            nneg = nneg + jnp.sum(active & (d < 0)).astype(jnp.int32)
+            nzero = nzero + jnp.sum(active & (d == 0)).astype(jnp.int32)
+            dn = jnp.where(active & (absd > tiny), d, 1.0)
+            below = ii[None, :] > gcol
+            l = jnp.where(below & active[:, None], col / dn[:, None], 0.0)
+            # rank-1 update of the remaining panel columns
+            lrows = lax.dynamic_slice(l, (0, b), (nb, B))
+            upd = l[:, :, None] * (dn[:, None] * lrows)[:, None, :]
+            P = P - jnp.where((jB > j)[None, None, :], upd, 0.0)
+            # store column j: zeros above, d on diag, l below (active);
+            # inactive (struct/pad) columns keep their updated values
+            newcol = jnp.where((ii == gcol)[None, :],
+                               jnp.where(active, d, 1.0)[:, None], l)
+            newcol = jnp.where(active[:, None], newcol, col)
+            P = lax.dynamic_update_slice(P, newcol[:, :, None], (0, 0, j))
+            return P, dmin, npos, nneg, nzero
 
-    return lax.fori_loop(0, cmax, col_step, F)
+        P, dmin, npos, nneg, nzero = lax.fori_loop(
+            0, B, col_step, (P, dmin, npos, nneg, nzero))
+
+        # batched SYRK trailing update: T = (L * d) L^T onto cols >= b+B
+        gcols = b + jB
+        amask = gcols[None, None, :] < ncols[:, None, None]  # active cols
+        diagmask = ii[:, None] == gcols[None, :]             # (Fpad, B)
+        dvec = jnp.sum(P * diagmask[None, :, :], axis=1)     # (nb, B)
+        dsafe = jnp.where(jnp.abs(dvec) > tiny, dvec, 1.0)
+        Lb = jnp.where(amask & ~diagmask[None, :, :], P, 0.0)
+        T = (Lb * dsafe[:, None, :]) @ jnp.swapaxes(Lb, -1, -2)
+        F = F - jnp.where((ii >= b + B)[None, None, :], T, 0.0)
+        F = lax.dynamic_update_slice(F, P, (0, 0, b))
+        return F, dmin, npos, nneg, nzero
+
+    return lax.fori_loop(
+        0, nblocks, block_step,
+        (F, jnp.asarray(jnp.inf, dt), jnp.array(0, jnp.int32),
+         jnp.array(0, jnp.int32), jnp.array(0, jnp.int32)))
 
 
-def supernodal_solve(sym: SupernodalSymbolic, factors, b):
-    """Solve A x = b with the factors (forward/backward level sweeps)."""
+def supernodal_inertia(fac: SupernodalFactors):
+    """(#pos, #neg, #zero) eigenvalue counts from the LDL^T diagonal
+    (Sylvester) — the SLS_enquire/TRS interval-update hook
+    (reference src/trs/trs.f90:2260-2337)."""
+    return fac.inertia
+
+
+# ---------------------------------------------------------------------------
+# Solve (device)
+# ---------------------------------------------------------------------------
+
+
+def supernodal_solve(sym: SupernodalSymbolic, fac: SupernodalFactors, b):
+    """Solve A x = b with the LDL^T factors: forward (L w = b), scale
+    (v = w / d), backward (L^T x = v), as blocked per-level sweeps."""
     b = jnp.asarray(b)
     dt = b.dtype
-    # permute
     y = b[jnp.asarray(sym.perm)]
+    n = sym.n
 
-    # forward: for levels bottom-up, for each node: y_F -= L_col * y_j
+    prepared = []
     for l, plan in enumerate(sym.levels):
-        if plan is None:
-            continue
-        F = factors[l]
-        nb, Fmax = plan["frows"].shape
-        frows = jnp.asarray(np.maximum(plan["frows"], 0))
-        mask = jnp.asarray(plan["frows"] >= 0)
-        ncols = jnp.asarray(plan["ncols"])
-        yF = jnp.where(mask, y[frows], 0.0)      # (nb, Fmax)
+        F = fac.levels[l].astype(dt)
+        nb, Fpad = plan.frows.shape
+        ii = jnp.arange(Fpad)
+        ncols = jnp.asarray(plan.ncols)
+        elim = ii[None, :] < ncols[:, None]
+        # columns >= ncols hold the Schur block — zero them for the
+        # triangular solves (active columns already have zeros above
+        # the diagonal)
+        Ls = jnp.where(elim[:, None, :], F, 0.0)
+        dvec = jnp.sum(Ls * (ii[:, None] == ii[None, :])[None], axis=1)
+        tiny = jnp.asarray(np.finfo(np.dtype(dt.name)).tiny * 16, dt)
+        dsafe = jnp.where(jnp.abs(dvec) > tiny, dvec, 1.0)
+        frows = jnp.asarray(np.maximum(plan.frows, 0))
+        mask = jnp.asarray(plan.frows >= 0)
+        prepared.append((Ls, dsafe, frows, mask, elim, ncols))
 
-        def fwd_col(j, yF):
-            active = j < ncols
-            piv = F[:, j, j]
-            piv = jnp.where(active & (jnp.abs(piv) > 0), piv, 1.0)
-            yj = yF[:, j] / piv
-            colj = F[:, :, j]
-            below = jnp.arange(Fmax)[None, :] > j
-            yF = yF - jnp.where(below & active[:, None], colj * yj[:, None],
-                                0.0)
-            return yF.at[:, j].set(jnp.where(active, yj, yF[:, j]))
+    # ---- forward: bottom-up ----
+    for l, plan in enumerate(sym.levels):
+        Ls, dsafe, frows, mask, elim, ncols = prepared[l]
+        nb, Fpad = plan.frows.shape
+        B = plan.B
+        nblocks = -(-plan.Cmax // B)
+        yF = jnp.where(mask, y[frows], 0.0)
+        yF0 = yF
 
-        yF = lax.fori_loop(0, plan["Cmax"], fwd_col, yF)
-        # scatter back only the eliminated entries and ACCUMULATED
-        # contributions to ancestor rows
-        elim = jnp.arange(Fmax)[None, :] < ncols[:, None]
-        # eliminated values replace; others accumulate the delta
-        delta = jnp.where(mask & ~elim, yF - jnp.where(mask, y[frows], 0.0),
-                          0.0)
-        y = y.at[frows.reshape(-1)].add(
-            jnp.where(mask, delta, 0.0).reshape(-1))
-        y = y.at[jnp.where(elim & mask, frows, sym.n)
-                 .reshape(-1)].set(
+        def fwd_block(bi, yF, Ls=Ls, nb=nb, Fpad=Fpad, B=B):
+            bs = bi * B
+            L11 = lax.dynamic_slice(Ls, (0, bs, bs), (nb, B, B))
+            y1 = lax.dynamic_slice(yF, (0, bs), (nb, B))
+            y1 = lax.linalg.triangular_solve(
+                L11, y1[..., None], left_side=True, lower=True,
+                unit_diagonal=True)[..., 0]
+            panel = lax.dynamic_slice(Ls, (0, 0, bs), (nb, Fpad, B))
+            upd = (panel @ y1[..., None])[..., 0]
+            below = jnp.arange(Fpad)[None, :] >= bs + B
+            yF = jnp.where(below, yF - upd, yF)
+            return lax.dynamic_update_slice(yF, y1, (0, bs))
+
+        yF = lax.fori_loop(0, nblocks, fwd_block, yF)
+        yF = jnp.where(elim, yF / dsafe, yF)
+        # scatter: eliminated entries replace, struct rows accumulate
+        delta = jnp.where(mask & ~elim, yF - yF0, 0.0)
+        y = y.at[frows.reshape(-1)].add(delta.reshape(-1))
+        y = y.at[jnp.where(elim & mask, frows, n).reshape(-1)].set(
             jnp.where(elim & mask, yF, 0.0).reshape(-1), mode="drop")
 
-    # backward: top-down
+    # ---- backward: top-down ----
     for l in reversed(range(len(sym.levels))):
         plan = sym.levels[l]
-        if plan is None:
-            continue
-        F = factors[l]
-        nb, Fmax = plan["frows"].shape
-        frows = jnp.asarray(np.maximum(plan["frows"], 0))
-        mask = jnp.asarray(plan["frows"] >= 0)
-        ncols = jnp.asarray(plan["ncols"])
+        Ls, dsafe, frows, mask, elim, ncols = prepared[l]
+        nb, Fpad = plan.frows.shape
+        B = plan.B
+        nblocks = -(-plan.Cmax // B)
         yF = jnp.where(mask, y[frows], 0.0)
 
-        def bwd_col(jj, yF):
-            j = plan["Cmax"] - 1 - jj
-            active = (j < ncols) & (j >= 0)
-            colj = F[:, :, j]
-            below = jnp.arange(Fmax)[None, :] > j
-            dot = jnp.sum(jnp.where(below, colj * yF, 0.0), axis=1)
-            piv = F[:, j, j]
-            piv = jnp.where(active & (jnp.abs(piv) > 0), piv, 1.0)
-            xj = (yF[:, j] - dot) / piv
-            return yF.at[:, j].set(jnp.where(active, xj, yF[:, j]))
+        def bwd_block(k, yF, Ls=Ls, nb=nb, Fpad=Fpad, B=B, nblocks=nblocks):
+            bs = (nblocks - 1 - k) * B
+            panel = lax.dynamic_slice(Ls, (0, 0, bs), (nb, Fpad, B))
+            below = jnp.arange(Fpad)[None, :, None] >= bs + B
+            panel_b = jnp.where(below, panel, 0.0)
+            rhs = (lax.dynamic_slice(yF, (0, bs), (nb, B))
+                   - (jnp.swapaxes(panel_b, -1, -2) @ yF[..., None])[..., 0])
+            L11 = lax.dynamic_slice(Ls, (0, bs, bs), (nb, B, B))
+            x1 = lax.linalg.triangular_solve(
+                L11, rhs[..., None], left_side=True, lower=True,
+                transpose_a=True, unit_diagonal=True)[..., 0]
+            return lax.dynamic_update_slice(yF, x1, (0, bs))
 
-        yF = lax.fori_loop(0, plan["Cmax"], bwd_col, yF)
-        elim = jnp.arange(Fmax)[None, :] < ncols[:, None]
-        y = y.at[jnp.where(elim & mask, frows, sym.n).reshape(-1)].set(
+        yF = lax.fori_loop(0, nblocks, bwd_block, yF)
+        y = y.at[jnp.where(elim & mask, frows, n).reshape(-1)].set(
             jnp.where(elim & mask, yF, 0.0).reshape(-1), mode="drop")
 
     return y[jnp.asarray(sym.iperm)]

@@ -12,5 +12,6 @@ from .wrappers import (  # noqa: F401
     postorder,
     rcm_order,
     supernode_partition,
+    symbolic_factor,
     tree_levels,
 )

@@ -53,5 +53,10 @@ def load_symbolic() -> ctypes.CDLL:
         lib.supernodes.restype = ctypes.c_int32
         lib.tree_levels.argtypes = [ctypes.c_int32, i32p, i32p]
         lib.tree_levels.restype = ctypes.c_int32
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.symbolic_count.argtypes = [ctypes.c_int32, i64p, i32p, i32p, i32p]
+        lib.symbolic_count.restype = ctypes.c_int64
+        lib.symbolic_pattern.argtypes = [ctypes.c_int32, i64p, i32p, i32p,
+                                         i32p, i64p, i32p]
         _lib = lib
         return lib

@@ -65,49 +65,194 @@ void rcm_order(int32_t n, const int32_t* rowptr, const int32_t* colind,
   std::reverse(perm, perm + n);
 }
 
-// --- minimum degree (simple, exact-degree, no supervariables) -------------
-// O(n^2 + n*nnz) worst case; fine for the host-side analyse of problems
-// whose numeric phase dominates.  For very large patterns, RCM + the
-// banded path is the intended route.
+// --- approximate minimum degree (quotient graph, bucket degree lists) -----
+// AMD-style: eliminated variables become *elements* whose cliques are
+// stored implicitly (one member list per element, absorbed on use), so
+// fill is never materialised as edges.  Degrees are the standard upper
+// bound |A_i| + sum_e |L_e \ {i}|; candidates are drawn from
+// doubly-linked degree buckets, giving near-linear behaviour on the
+// KKT/grid patterns this library factors (replaces the reference's
+// mc68/AMD role, src/sls/sls.f90 ordering controls).
 void amd_order(int32_t n, const int32_t* rowptr, const int32_t* colind,
                int32_t* perm) {
-  std::vector<std::vector<int32_t>> adj(n);
+  if (n == 0) return;
+  // variable adjacency (original entries only; shrinks as entries die)
+  std::vector<std::vector<int32_t>> A(n);
   for (int32_t i = 0; i < n; ++i)
     for (int32_t p = rowptr[i]; p < rowptr[i + 1]; ++p) {
       int32_t j = colind[p];
-      if (j != i && j >= 0 && j < n) adj[i].push_back(j);
+      if (j != i && j >= 0 && j < n) A[i].push_back(j);
     }
-  for (auto& a : adj) {
+  for (auto& a : A) {
     std::sort(a.begin(), a.end());
     a.erase(std::unique(a.begin(), a.end()), a.end());
   }
-  std::vector<char> gone(n, 0);
-  for (int32_t k = 0; k < n; ++k) {
-    // pick min-degree remaining vertex
-    int32_t best = -1, bdeg = INT32_MAX;
-    for (int32_t i = 0; i < n; ++i)
-      if (!gone[i] && (int32_t)adj[i].size() < bdeg) {
-        bdeg = (int32_t)adj[i].size();
-        best = i;
+  // elements: member lists; elem id == the eliminated variable's id
+  std::vector<std::vector<int32_t>> elem_members(n);
+  std::vector<std::vector<int32_t>> E(n);  // element lists per variable
+  std::vector<char> dead_elem(n, 0);       // absorbed elements
+  std::vector<char> gone(n, 0);            // eliminated variables
+  // degree buckets (doubly linked)
+  std::vector<int32_t> head(n + 1, -1), nxt(n, -1), prv(n, -1), deg(n, 0);
+  auto bucket_remove = [&](int32_t i) {
+    if (prv[i] >= 0) nxt[prv[i]] = nxt[i];
+    else head[deg[i]] = nxt[i];
+    if (nxt[i] >= 0) prv[nxt[i]] = prv[i];
+    nxt[i] = prv[i] = -1;
+  };
+  auto bucket_insert = [&](int32_t i, int32_t d) {
+    if (d > n) d = n;
+    if (d < 0) d = 0;
+    deg[i] = d;
+    nxt[i] = head[d];
+    prv[i] = -1;
+    if (head[d] >= 0) prv[head[d]] = i;
+    head[d] = i;
+  };
+  for (int32_t i = 0; i < n; ++i) bucket_insert(i, (int32_t)A[i].size());
+
+  std::vector<int32_t> mark(n, -1);
+  std::vector<int32_t> Lp;  // scratch: pattern of the current pivot
+  int32_t mindeg = 0;
+  for (int32_t k = 0; k < n;) {
+    // next pivot: lowest non-empty bucket
+    while (mindeg <= n && head[mindeg] < 0) ++mindeg;
+    int32_t p = head[mindeg];
+    bucket_remove(p);
+    gone[p] = 1;
+    perm[k++] = p;
+    // L_p = (A_p  U  union of member lists of p's elements) \ eliminated
+    Lp.clear();
+    const int32_t stamp = p;
+    mark[p] = stamp;
+    for (int32_t v : A[p])
+      if (!gone[v] && mark[v] != stamp) {
+        mark[v] = stamp;
+        Lp.push_back(v);
       }
-    perm[k] = best;
-    gone[best] = 1;
-    // eliminate: connect its remaining neighbours into a clique
-    std::vector<int32_t> nb;
-    for (int32_t v : adj[best])
-      if (!gone[v]) nb.push_back(v);
-    for (int32_t v : nb) {
-      auto& av = adj[v];
-      // remove 'best', add clique members
-      std::vector<int32_t> merged;
-      merged.reserve(av.size() + nb.size());
-      for (int32_t w : av)
-        if (w != best && !gone[w]) merged.push_back(w);
-      for (int32_t w : nb)
-        if (w != v) merged.push_back(w);
-      std::sort(merged.begin(), merged.end());
-      merged.erase(std::unique(merged.begin(), merged.end()), merged.end());
-      av.swap(merged);
+    for (int32_t e : E[p]) {
+      if (dead_elem[e]) continue;
+      for (int32_t v : elem_members[e])
+        if (!gone[v] && mark[v] != stamp) {
+          mark[v] = stamp;
+          Lp.push_back(v);
+        }
+      dead_elem[e] = 1;                     // absorbed into element p
+      elem_members[e].clear();
+      elem_members[e].shrink_to_fit();
+    }
+    E[p].clear();
+    E[p].shrink_to_fit();
+    A[p].clear();
+    A[p].shrink_to_fit();
+    if (Lp.empty()) continue;
+    elem_members[p] = Lp;                   // new element
+    // update every variable adjacent to the new element
+    for (int32_t i : Lp) {
+      // purge A_i of eliminated vars and of vars already covered by the
+      // new element (they are reachable through it; keeping them only
+      // inflates the degree bound)
+      auto& ai = A[i];
+      size_t w = 0;
+      for (size_t r = 0; r < ai.size(); ++r) {
+        int32_t v = ai[r];
+        if (gone[v] || (mark[v] == stamp && v != i)) continue;
+        ai[w++] = v;
+      }
+      ai.resize(w);
+      // purge dead elements; append the new one
+      auto& ei = E[i];
+      w = 0;
+      for (size_t r = 0; r < ei.size(); ++r)
+        if (!dead_elem[ei[r]]) ei[w++] = ei[r];
+      ei.resize(w);
+      ei.push_back(p);
+      // approximate external degree
+      int64_t d = (int64_t)ai.size();
+      for (int32_t e : ei) d += (int64_t)elem_members[e].size() - 1;
+      bucket_remove(i);
+      bucket_insert(i, (int32_t)(d > n ? n : d));
+      if (deg[i] < mindeg) mindeg = deg[i];
+    }
+  }
+}
+
+// --- symbolic factorization: etree + column counts + L pattern -------------
+// Row-walk algorithm: row i of L reaches exactly the columns on the
+// etree paths from each entry k (k < i) of row i up toward i.  One pass
+// computes parents + per-column counts; a second pass (same walk)
+// emits the strict-lower pattern.  This is the host analyse step the
+// reference performs inside SSIDS (src/ssids/anal.f90) and MA27/SILS.
+// Input: lower-triangle pattern (row > col, diagonal optional) in CSC.
+int64_t symbolic_count(int32_t n, const int64_t* colptr, const int32_t* rowind,
+                       int32_t* parent, int32_t* colcount) {
+  // row-wise lists of the strict lower triangle
+  std::vector<int64_t> rptr(n + 1, 0);
+  for (int32_t j = 0; j < n; ++j)
+    for (int64_t p = colptr[j]; p < colptr[j + 1]; ++p)
+      if (rowind[p] > j) ++rptr[rowind[p] + 1];
+  for (int32_t i = 0; i < n; ++i) rptr[i + 1] += rptr[i];
+  std::vector<int32_t> rind(rptr[n]);
+  {
+    std::vector<int64_t> w(rptr.begin(), rptr.end() - 1);
+    for (int32_t j = 0; j < n; ++j)
+      for (int64_t p = colptr[j]; p < colptr[j + 1]; ++p)
+        if (rowind[p] > j) rind[w[rowind[p]]++] = j;
+  }
+  std::vector<int32_t> mark(n, -1);
+  for (int32_t i = 0; i < n; ++i) {
+    parent[i] = -1;
+    colcount[i] = 1;  // diagonal
+  }
+  int64_t nnz = 0;
+  for (int32_t i = 0; i < n; ++i) {
+    mark[i] = i;
+    for (int64_t p = rptr[i]; p < rptr[i + 1]; ++p) {
+      int32_t j = rind[p];
+      while (mark[j] != i) {
+        mark[j] = i;
+        ++colcount[j];
+        ++nnz;
+        if (parent[j] < 0) parent[j] = i;
+        j = parent[j];
+      }
+    }
+  }
+  return nnz;  // strict-lower entries of L
+}
+
+// Second pass: emit the strict-lower pattern (rows ascend within each
+// column).  parent must come from symbolic_count; Lp has n+1 slots.
+void symbolic_pattern(int32_t n, const int64_t* colptr, const int32_t* rowind,
+                      const int32_t* parent, const int32_t* colcount,
+                      int64_t* Lp, int32_t* Li) {
+  Lp[0] = 0;
+  for (int32_t j = 0; j < n; ++j) Lp[j + 1] = Lp[j] + (colcount[j] - 1);
+  std::vector<int64_t> w(n);
+  for (int32_t j = 0; j < n; ++j) w[j] = Lp[j];
+  // row-wise lists again
+  std::vector<int64_t> rptr(n + 1, 0);
+  for (int32_t j = 0; j < n; ++j)
+    for (int64_t p = colptr[j]; p < colptr[j + 1]; ++p)
+      if (rowind[p] > j) ++rptr[rowind[p] + 1];
+  for (int32_t i = 0; i < n; ++i) rptr[i + 1] += rptr[i];
+  std::vector<int32_t> rind(rptr[n]);
+  {
+    std::vector<int64_t> ww(rptr.begin(), rptr.end() - 1);
+    for (int32_t j = 0; j < n; ++j)
+      for (int64_t p = colptr[j]; p < colptr[j + 1]; ++p)
+        if (rowind[p] > j) rind[ww[rowind[p]]++] = j;
+  }
+  std::vector<int32_t> mark(n, -1);
+  for (int32_t i = 0; i < n; ++i) {
+    mark[i] = i;
+    for (int64_t p = rptr[i]; p < rptr[i + 1]; ++p) {
+      int32_t j = rind[p];
+      while (mark[j] != i) {
+        mark[j] = i;
+        Li[w[j]++] = i;  // rows emitted in ascending i
+        j = parent[j];
+      }
     }
   }
 }

@@ -79,3 +79,30 @@ def tree_levels(sparent):
     level = np.zeros(ns, np.int32)
     nl = lib.tree_levels(ns, _ptr(sparent), _ptr(level))
     return level, int(nl)
+
+
+def _i64(a):
+    return np.ascontiguousarray(a, dtype=np.int64)
+
+
+def _ptr64(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def symbolic_factor(colptr, rowind, n):
+    """Full symbolic Cholesky of an (already permuted) lower-triangle
+    CSC pattern: returns (parent, colcount, Lp, Li) where (Lp, Li) is
+    the strict-lower pattern of L in CSC with ascending rows.
+    Native row-walk algorithm (the SSIDS/SILS analyse role)."""
+    lib = load_symbolic()
+    colptr = _i64(colptr)
+    rowind = _i32(rowind)
+    parent = np.zeros(n, np.int32)
+    colcount = np.zeros(n, np.int32)
+    nnz = lib.symbolic_count(n, _ptr64(colptr), _ptr(rowind),
+                             _ptr(parent), _ptr(colcount))
+    Lp = np.zeros(n + 1, np.int64)
+    Li = np.zeros(int(nnz), np.int32)
+    lib.symbolic_pattern(n, _ptr64(colptr), _ptr(rowind), _ptr(parent),
+                         _ptr(colcount), _ptr64(Lp), _ptr(Li))
+    return parent, colcount, Lp, Li

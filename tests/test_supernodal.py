@@ -156,3 +156,60 @@ class TestSupernodalNumeric:
         b = np.random.default_rng(5).normal(size=A.shape[0])
         x = sls_solve(f, jnp.asarray(b))
         assert np.linalg.norm(A @ np.asarray(x) - b) < 1e-10
+
+
+class TestIndefiniteLDLT:
+    """Quasi-definite LDL^T + inertia (SLS_enquire role; VERDICT round-1
+    item 2: reference src/ssids/ldlt_app.cxx:40, src/trs/trs.f90:2260)."""
+
+    def _kkt(self, n=40, m=15, delta=1e-2):
+        rng = np.random.default_rng(0)
+        G = sp.random(n, n, density=0.12, random_state=1)
+        G = (G @ G.T).tocsr() + sp.eye(n) * 2.0
+        A = sp.random(m, n, density=0.2, random_state=2).tocsr()
+        return sp.bmat([[G, A.T], [A, -delta * sp.eye(m)]]).tocsr(), n, m
+
+    def test_quasi_definite_inertia_and_solve(self):
+        K, n, m = self._kkt()
+        Kl = sp.tril(K).tocoo()
+        sym = supernodal_analyse(Kl.row, Kl.col, n + m, order="amd")
+        fac = supernodal_factorize(sym, jnp.asarray(Kl.data))
+        assert np.asarray(fac.inertia).tolist() == [n, m, 0]
+        assert float(fac.dmin) > 0
+        b = np.random.default_rng(3).normal(size=n + m)
+        x = supernodal_solve(sym, fac, jnp.asarray(b))
+        r = np.linalg.norm(K @ np.asarray(x) - b) / np.linalg.norm(b)
+        assert r < 1e-10
+
+    def test_signed_shift_vector(self):
+        """(n,)-vector shift = signed quasi-definite regularization
+        (+rho on primal block, -delta on dual block)."""
+        K, n, m = self._kkt(delta=0.0)      # singular (2,2) block
+        Kl = sp.tril(K).tocoo()
+        sym = supernodal_analyse(Kl.row, Kl.col, n + m, order="amd")
+        shift = np.concatenate([np.full(n, 0.5), np.full(m, -0.5)])
+        fac = supernodal_factorize(sym, jnp.asarray(Kl.data),
+                                   shift=jnp.asarray(shift))
+        assert np.asarray(fac.inertia).tolist() == [n, m, 0]
+        b = np.random.default_rng(4).normal(size=n + m)
+        x = supernodal_solve(sym, fac, jnp.asarray(b))
+        Ks = K + sp.diags(shift)
+        r = np.linalg.norm(Ks @ np.asarray(x) - b) / np.linalg.norm(b)
+        assert r < 1e-10
+
+    def test_indefinite_dense_vs_eigh(self):
+        """General (not quasi-definite) symmetric matrix with a benign
+        ordering still factors; inertia matches the eigenvalue count."""
+        rng = np.random.default_rng(7)
+        n = 12
+        B = rng.normal(size=(n, n))
+        M = (B + B.T) / 2 + np.diag(10.0 * np.sign(rng.normal(size=n)))
+        Ml = sp.tril(sp.csr_matrix(M)).tocoo()
+        sym = supernodal_analyse(Ml.row, Ml.col, n, order="natural")
+        fac = supernodal_factorize(sym, jnp.asarray(Ml.data))
+        lam = np.linalg.eigvalsh(M)
+        expect = [int((lam > 0).sum()), int((lam < 0).sum()), 0]
+        assert np.asarray(fac.inertia).tolist() == expect
+        b = rng.normal(size=n)
+        x = supernodal_solve(sym, fac, jnp.asarray(b))
+        assert np.linalg.norm(M @ np.asarray(x) - b) < 1e-9
