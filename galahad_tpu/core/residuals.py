@@ -17,7 +17,7 @@ def primal_infeasibility(qp: QP, x, c=None, infinity: float = INFINITY):
     viol = jnp.array(0.0, x.dtype)
     if qp.m > 0:
         if c is None:
-            c = qp.A @ x
+            c = qp.Ax(x)
         lo = jnp.where(qp.c_l > -infinity, qp.c_l - c, 0.0)
         hi = jnp.where(qp.c_u < infinity, c - qp.c_u, 0.0)
         viol = jnp.maximum(viol, jnp.max(jnp.maximum(lo, hi), initial=0.0))
@@ -30,7 +30,7 @@ def dual_infeasibility(qp: QP, x, y, z):
     """inf-norm of the dual residual  Hx + g - A'y - z."""
     r = qp.Hx(x) + qp.g
     if qp.m > 0:
-        r = r - qp.A.T @ y
+        r = r - qp.Aty(y)
     r = r - z
     return jnp.max(jnp.abs(r))
 
@@ -53,7 +53,7 @@ def complementary_slackness(qp: QP, x, y, z, c=None,
     comp = jnp.maximum(comp, jnp.max(jnp.abs(comp_u), initial=0.0))
     if qp.m > 0:
         if c is None:
-            c = qp.A @ x
+            c = qp.Ax(x)
         y_l = jnp.maximum(y, 0.0)
         y_u = jnp.maximum(-y, 0.0)
         cl = jnp.where(qp.c_l > -infinity, (c - qp.c_l) * y_l, y_l * 0.0)

@@ -24,17 +24,24 @@ from ..core.problem import INFINITY, QP
 
 @dataclasses.dataclass
 class QPLIBProblem:
-    """Raw parsed QPLIB data (host-side numpy)."""
+    """Raw parsed QPLIB data (host-side numpy).
+
+    H and A are stored in COORDINATE form exactly as the file gives them
+    (H: lower triangle) — nothing is densified at parse time, so files
+    with n >> 1e4 stay O(nnz) (reference RPD also keeps coordinate
+    storage, src/rpd/rpd.f90:352).  The dense ``.H``/``.A`` views are
+    lazy properties for small-problem convenience.
+    """
 
     name: str
     ptype: str
     minimize: bool
     n: int
     m: int
-    H: np.ndarray            # (n, n) dense symmetric (zero if LP)
+    H_coo: tuple             # (rows, cols, vals) lower triangle of H
     g: np.ndarray
     f: float
-    A: np.ndarray            # (m, n)
+    A_coo: tuple             # (rows, cols, vals)
     c_l: np.ndarray
     c_u: np.ndarray
     x_l: np.ndarray
@@ -48,6 +55,29 @@ class QPLIBProblem:
     x_names: dict
     c_names: dict
 
+    @property
+    def H(self) -> np.ndarray:
+        """Dense symmetric (n, n) view of the objective Hessian."""
+        H = np.zeros((self.n, self.n))
+        r, c, v = self.H_coo
+        np.add.at(H, (r, c), v)
+        off = r != c
+        np.add.at(H, (c[off], r[off]), v[off])
+        return H
+
+    @property
+    def A(self) -> np.ndarray:
+        A = np.zeros((self.m, self.n))
+        r, c, v = self.A_coo
+        np.add.at(A, (r, c), v)
+        return A
+
+    def _clip_inf(self, v):
+        v = np.asarray(v, dtype=np.float64).copy()
+        v[v >= self.infinity] = INFINITY
+        v[v <= -self.infinity] = -INFINITY
+        return v
+
     def to_qp(self, dtype=np.float64) -> QP:
         """Convert to a dense solver-ready QP pytree (values >= infinity
         are mapped to the library INFINITY convention)."""
@@ -55,12 +85,6 @@ class QPLIBProblem:
 
         if self.H_c:
             raise NotImplementedError("quadratic constraints (QCQP) not supported yet")
-
-        def clip_inf(v):
-            v = np.asarray(v, dtype=np.float64).copy()
-            v[v >= self.infinity] = INFINITY
-            v[v <= -self.infinity] = -INFINITY
-            return v
 
         sgn = 1.0 if self.minimize else -1.0
         quad = self.ptype[0].upper() in ("Q", "D", "C")
@@ -70,15 +94,39 @@ class QPLIBProblem:
             g=jnp.asarray(sgn * self.g, dtype),
             f=sgn * float(self.f),
             A=jnp.asarray(self.A, dtype),
-            c_l=jnp.asarray(clip_inf(self.c_l), dtype),
-            c_u=jnp.asarray(clip_inf(self.c_u), dtype),
-            x_l=jnp.asarray(clip_inf(self.x_l), dtype),
-            x_u=jnp.asarray(clip_inf(self.x_u), dtype),
+            c_l=jnp.asarray(self._clip_inf(self.c_l), dtype),
+            c_u=jnp.asarray(self._clip_inf(self.c_u), dtype),
+            x_l=jnp.asarray(self._clip_inf(self.x_l), dtype),
+            x_u=jnp.asarray(self._clip_inf(self.x_u), dtype),
             x=jnp.asarray(self.x0, dtype),
             y=jnp.asarray(self.y0, dtype),
             z=jnp.asarray(self.z0, dtype),
             name=self.name,
             h_kind="dense" if quad else "zero",
+        )
+
+    def to_sparse_qp(self, dtype=np.float64):
+        """Convert to a SparseQP (COO end-to-end, no densification) —
+        the large-problem path: the IPM then factorizes the KKT system
+        through the supernodal augmented-system mode (SURVEY §3.1
+        flagship stack)."""
+        from ..core.sparse import make_sparse_qp
+
+        if self.H_c:
+            raise NotImplementedError("quadratic constraints (QCQP) not supported yet")
+
+        sgn = 1.0 if self.minimize else -1.0
+        quad = self.ptype[0].upper() in ("Q", "D", "C")
+        hr, hc, hv = self.H_coo
+        return make_sparse_qp(
+            self.n, self.m,
+            h_coo=(hr, hc, sgn * hv) if quad and len(hr) else None,
+            a_coo=self.A_coo,
+            g=sgn * self.g, f=sgn * float(self.f),
+            c_l=self._clip_inf(self.c_l), c_u=self._clip_inf(self.c_u),
+            x_l=self._clip_inf(self.x_l), x_u=self._clip_inf(self.x_u),
+            x=self.x0, y=self.y0, z=self.z0,
+            name=self.name, dtype=dtype,
         )
 
 
@@ -143,16 +191,15 @@ def loads(text: str) -> QPLIBProblem:
     m = rec.next_int() if has_constraints else 0
 
     # objective Hessian (lower triangle coordinate)
-    H = np.zeros((n, n))
+    h_r, h_c, h_v = [], [], []
     if obj_t in ("Q", "D", "C"):
         nnz = rec.next_int()
         for _ in range(nnz):
             toks = rec.next()
             i, j = int(toks[0]) - 1, int(toks[1]) - 1
-            v = float(toks[2].replace("D", "E").replace("d", "e"))
-            H[i, j] += v
-            if i != j:
-                H[j, i] += v
+            h_r.append(max(i, j))
+            h_c.append(min(i, j))
+            h_v.append(float(toks[2].replace("D", "E").replace("d", "e")))
 
     g = _read_vector(rec, n)
     f = rec.next_float()
@@ -169,14 +216,14 @@ def loads(text: str) -> QPLIBProblem:
             )
 
     # constraint Jacobian
-    A = np.zeros((m, n))
+    a_r, a_c, a_v = [], [], []
     if has_constraints:
         nnz = rec.next_int()
         for _ in range(nnz):
             toks = rec.next()
-            A[int(toks[0]) - 1, int(toks[1]) - 1] += float(
-                toks[2].replace("D", "E").replace("d", "e")
-            )
+            a_r.append(int(toks[0]) - 1)
+            a_c.append(int(toks[1]) - 1)
+            a_v.append(float(toks[2].replace("D", "E").replace("d", "e")))
 
     infinity = rec.next_float()
 
@@ -208,9 +255,14 @@ def loads(text: str) -> QPLIBProblem:
     x_names = _read_names(rec) if rec.pos < len(rec.lines) else {}
     c_names = _read_names(rec) if has_constraints and rec.pos < len(rec.lines) else {}
 
+    def coo(r, c, v):
+        return (np.asarray(r, np.int64), np.asarray(c, np.int64),
+                np.asarray(v, np.float64))
+
     return QPLIBProblem(
-        name=name, ptype=ptype, minimize=minimize, n=n, m=m, H=H, g=g, f=f,
-        A=A, c_l=c_l, c_u=c_u, x_l=x_l, x_u=x_u, x0=x0, y0=y0, z0=z0,
+        name=name, ptype=ptype, minimize=minimize, n=n, m=m,
+        H_coo=coo(h_r, h_c, h_v), g=g, f=f, A_coo=coo(a_r, a_c, a_v),
+        c_l=c_l, c_u=c_u, x_l=x_l, x_u=x_u, x0=x0, y0=y0, z0=z0,
         infinity=infinity, var_types=var_types, H_c=H_c,
         x_names=x_names, c_names=c_names,
     )
@@ -226,6 +278,11 @@ def read_qp(path: str, dtype=np.float64) -> QP:
     return load(path).to_qp(dtype)
 
 
+def read_sparse_qp(path: str, dtype=np.float64):
+    """Read a QPLIB file straight into a SparseQP (never densifies)."""
+    return load(path).to_sparse_qp(dtype)
+
+
 # ---------------------------------------------------------------------------
 # Writer (RPD_write_qp_problem_data equivalent) for fixture round-tripping
 # ---------------------------------------------------------------------------
@@ -239,9 +296,10 @@ def dumps(p: QPLIBProblem) -> str:
         out.append(str(p.m))
 
     if obj_t in ("Q", "D", "C"):
-        ij = [(i, j) for i in range(p.n) for j in range(i + 1) if p.H[i, j] != 0.0]
-        out.append(str(len(ij)))
-        out += [f"{i + 1} {j + 1} {float(p.H[i, j])!r}" for i, j in ij]
+        hr, hc, hv = p.H_coo
+        nz = [k for k in range(len(hr)) if hv[k] != 0.0]
+        out.append(str(len(nz)))
+        out += [f"{hr[k] + 1} {hc[k] + 1} {float(hv[k])!r}" for k in nz]
 
     def vec(v):
         vals, counts = np.unique(np.asarray(v), return_counts=True)
@@ -257,9 +315,10 @@ def dumps(p: QPLIBProblem) -> str:
         out.append(str(len(p.H_c)))
         out += [f"{c + 1} {i + 1} {j + 1} {float(v)!r}" for c, i, j, v in p.H_c]
     if has_constraints:
-        ij = [(i, j) for i in range(p.m) for j in range(p.n) if p.A[i, j] != 0.0]
-        out.append(str(len(ij)))
-        out += [f"{i + 1} {j + 1} {float(p.A[i, j])!r}" for i, j in ij]
+        ar, ac, av = p.A_coo
+        nz = [k for k in range(len(ar)) if av[k] != 0.0]
+        out.append(str(len(nz)))
+        out += [f"{ar[k] + 1} {ac[k] + 1} {float(av[k])!r}" for k in nz]
     out.append(repr(p.infinity))
     if has_constraints:
         vec(p.c_l)

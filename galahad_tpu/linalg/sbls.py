@@ -146,3 +146,91 @@ def sbls_residual(f: SBLSFactors, apply_G, x, y, b1, b2):
     r1 = b1 - (apply_G(x) + At @ y)
     r2 = b2 - (f.A @ x - f.C_diag * y)
     return jnp.maximum(jnp.max(jnp.abs(r1)), jnp.max(jnp.abs(r2)))
+
+
+# ---------------------------------------------------------------------------
+# Sparse augmented-system mode (supernodal LDL^T)
+# ---------------------------------------------------------------------------
+#
+# SBLS's augmented-system factorization (reference src/sbls/sbls.f90:
+# 176-184 "factorize the whole K with an indefinite solver"): the KKT
+# matrix K = [[G, A'], [A, -C]] is assembled in COO, its pattern is
+# analysed ONCE (reused across every IPM iteration — the flagship
+# sparse path src/cqp/cqp.f90:4781 -> sbls.f90:1695 -> sls.f90:3521 ->
+# SSIDS), and each iteration only re-runs the numeric LDL^T.  Quasi-
+# definite regularization (+rho / -delta signed diagonal) replaces
+# dynamic pivoting; the expected inertia is (n, m, 0).
+
+import numpy as np  # noqa: E402  (host-side plan assembly)
+
+
+class SparseKKTPlan:
+    """Static analysed KKT structure (identity-hashed; reused across
+    factorizations of the same pattern)."""
+
+    __slots__ = ("sym", "n", "m")
+
+    def __init__(self, sym, n: int, m: int):
+        self.sym = sym
+        self.n = n
+        self.m = m
+
+    def solve(self, fac, b):
+        from .supernodal import supernodal_solve
+
+        return supernodal_solve(self.sym, fac, b)
+
+    def __hash__(self):
+        return id(self)
+
+    def __eq__(self, other):
+        return self is other
+
+
+_sparse_plan_cache: dict = {}
+
+
+def sparse_kkt_plan(h_pat, a_pat, n: int) -> SparseKKTPlan:
+    """Analyse the augmented KKT pattern [[H, A'], [A, -C]] (H lower
+    pattern + A + both diagonals).  Cached per (h_pat, a_pat) pair —
+    the SLS_analyse-once contract (reference src/sls/sls.f90:2178)."""
+    key = (h_pat, a_pat)
+    plan = _sparse_plan_cache.get(key)
+    if plan is not None:
+        return plan
+    from .supernodal import supernodal_analyse
+
+    m = a_pat.m
+    rows = np.concatenate([
+        np.asarray(h_pat.rows, np.int64),
+        np.asarray(a_pat.rows, np.int64) + n,
+        np.arange(n, dtype=np.int64),
+        n + np.arange(m, dtype=np.int64),
+    ])
+    cols = np.concatenate([
+        np.asarray(h_pat.cols, np.int64),
+        np.asarray(a_pat.cols, np.int64),
+        np.arange(n, dtype=np.int64),
+        n + np.arange(m, dtype=np.int64),
+    ])
+    sym = supernodal_analyse(rows, cols, n + m, order="amd")
+    plan = SparseKKTPlan(sym, n, m)
+    _sparse_plan_cache[key] = plan
+    return plan
+
+
+def sparse_kkt_factorize(plan: SparseKKTPlan, h_vals, a_vals, D_x, C_diag,
+                         rho=0.0, delta=0.0):
+    """Numeric LDL^T of K = [[H + D_x + rho I, A'], [A, -(C + delta I)]]
+    on the pre-analysed pattern.  D_x is the (n,) barrier diagonal,
+    C_diag the (m,) dual barrier diagonal (>= 0; 0 on equality rows)."""
+    from .supernodal import supernodal_factorize
+
+    D_x = jnp.asarray(D_x)
+    dt = D_x.dtype
+    vals = jnp.concatenate([
+        jnp.asarray(h_vals, dt), jnp.asarray(a_vals, dt),
+        D_x + jnp.asarray(rho, dt),
+        -(jnp.asarray(C_diag, dt) + jnp.asarray(delta, dt)),
+    ])
+    return supernodal_factorize(plan.sym, vals)

@@ -163,10 +163,28 @@ def supernodal_analyse(rows, cols, n, order: str = "amd",
                          + nc_all.astype(float) ** 2 * struct_len
                          + nc_all * struct_len.astype(float) ** 2))
 
-    lev_nodes = [np.flatnonzero(level_of == l) for l in range(nlev)]
+    # Split every tree level into FRONT-SIZE BUCKETS (pow-2 on both the
+    # front size and the eliminated-column count): fronts inside a batch
+    # are padded to the bucket bound, so padding waste is bounded ~2x
+    # instead of each level paying its largest front (the role the
+    # task-DAG's per-node granularity plays in the reference).  Groups
+    # stay level-ordered, so children always factor in earlier groups.
+    def _p2(x):
+        x = np.maximum(np.asarray(x, np.int64), 1)
+        return 2 ** np.ceil(np.log2(x)).astype(np.int64)
+
+    groups: list = []
+    for l in range(nlev):
+        nodes = np.flatnonzero(level_of == l)
+        key = (_p2(np.maximum(nf_all[nodes], 8)) * (10 ** 6)
+               + _p2(nc_all[nodes]))
+        for u in np.unique(key):
+            groups.append(nodes[key == u])
     node_pos = np.zeros(ns, np.int64)
-    for nd in lev_nodes:
+    group_of = np.zeros(ns, np.int64)
+    for gi, nd in enumerate(groups):
         node_pos[nd] = np.arange(len(nd))
+        group_of[nd] = gi
 
     def pos_in_front(s: int, g: np.ndarray) -> np.ndarray:
         """Positions of global rows g (sorted or not) in front of s."""
@@ -190,15 +208,15 @@ def supernodal_analyse(rows, cols, n, order: str = "amd",
         e_node[sel] = node_pos[s]
         e_fi[sel] = pos_in_front(int(s), a_r[sel])
         e_fj[sel] = a_c[sel] - sn_first[s]
-    e_level = level_of[s_of]
+    e_group = group_of[s_of]
 
-    # --- extend-add maps, grouped by (dst level, src level) ------------
+    # --- extend-add maps, grouped by (dst group, src group) ------------
     ea_groups: dict = {}
     for s in range(ns):
         p = sparent[s]
         if p < 0 or struct_len[s] == 0:
             continue
-        key = (int(level_of[p]), int(level_of[s]))
+        key = (int(group_of[p]), int(group_of[s]))
         g = ea_groups.setdefault(key, dict(src=[], dst=[], cpos=[], ppos=[]))
         g["src"].append(node_pos[s])
         g["dst"].append(node_pos[p])
@@ -206,8 +224,7 @@ def supernodal_analyse(rows, cols, n, order: str = "amd",
         g["ppos"].append(pos_in_front(int(p), sn_struct[s]))
 
     levels: list = []
-    for l in range(nlev):
-        nodes = lev_nodes[l]
+    for gi, nodes in enumerate(groups):
         nb = len(nodes)
         ncols = nc_all[nodes]
         nrows = nf_all[nodes]
@@ -220,10 +237,10 @@ def supernodal_analyse(rows, cols, n, order: str = "amd",
             fr = np.concatenate(
                 [np.arange(sn_first[s], sn_end[s]), sn_struct[s]])
             frows[k, :len(fr)] = fr
-        sel = np.flatnonzero(e_level == l)
+        sel = np.flatnonzero(e_group == gi)
         ea = []
         for (dl, sl), g in sorted(ea_groups.items()):
-            if dl != l:
+            if dl != gi:
                 continue
             Umax = max(len(c) for c in g["cpos"])
             nc = len(g["src"])

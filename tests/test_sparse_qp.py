@@ -1,0 +1,130 @@
+"""Sparse end-to-end QP path: COO containers, supernodal augmented-system
+KKT, IPM routing (VERDICT round-1 item 1; reference flagship stack
+src/cqp/cqp.f90:4781 -> src/sbls/sbls.f90:1695 -> src/sls/sls.f90:3521
+-> SSIDS)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from galahad_tpu.core.problem import QP
+from galahad_tpu.core.residuals import kkt_residuals
+from galahad_tpu.core.sparse import SparseQP, lower_triangle, make_sparse_qp
+from galahad_tpu.io import qplib
+from galahad_tpu.qp.ipm import IPMControl, ipm_solve
+
+
+def grid_qp(k=6, seed=0):
+    """Grid-Laplacian QP with a sparse 2-diagonal constraint matrix."""
+    rng = np.random.default_rng(seed)
+    n = k * k
+    m = n // 2
+    ii, jj, vv = [], [], []
+    for i in range(k):
+        for j in range(k):
+            u = i * k + j
+            ii.append(u)
+            jj.append(u)
+            vv.append(4.0)
+            for a, b in ((i + 1, j), (i, j + 1)):
+                if a < k and b < k:
+                    v = a * k + b
+                    ii.append(max(u, v))
+                    jj.append(min(u, v))
+                    vv.append(-1.0)
+    ar = np.repeat(np.arange(m), 2)
+    ac = np.stack([np.arange(m), np.arange(m) + n - m]).T.reshape(-1)
+    av = rng.uniform(0.5, 1.5, 2 * m)
+    g = rng.normal(size=n)
+    kw = dict(c_l=np.full(m, 1.0), c_u=np.full(m, 1e20),
+              x_l=np.zeros(n), x_u=np.full(n, 2.0))
+    sqp = make_sparse_qp(n, m, h_coo=(ii, jj, vv), a_coo=(ar, ac, av),
+                         g=g, **kw)
+    H = sp.csr_matrix((vv, (ii, jj)), shape=(n, n))
+    H = H + sp.tril(H, -1).T
+    A = sp.csr_matrix((av, (ar, ac)), shape=(m, n))
+    dqp = QP(H=jnp.asarray(H.toarray()), g=jnp.asarray(g),
+             A=jnp.asarray(A.toarray()),
+             **{k2: jnp.asarray(v2) for k2, v2 in kw.items()})
+    return sqp, dqp
+
+
+class TestSparseContainers:
+    def test_lower_triangle_dedupe(self):
+        r, c, v = lower_triangle([0, 1, 0, 2], [1, 0, 1, 2],
+                                 [1.0, 2.0, 3.0, 4.0])
+        # (0,1)+(1,0)+(0,1) -> lower (1,0) with 1+2+3
+        assert r.tolist() == [1, 2] and c.tolist() == [0, 2]
+        assert v.tolist() == [6.0, 4.0]
+
+    def test_matrix_actions_match_dense(self):
+        sqp, dqp = grid_qp()
+        rng = np.random.default_rng(1)
+        v = jnp.asarray(rng.normal(size=sqp.n))
+        y = jnp.asarray(rng.normal(size=sqp.m))
+        np.testing.assert_allclose(np.asarray(sqp.Hx(v)),
+                                   np.asarray(dqp.Hx(v)), atol=1e-12)
+        np.testing.assert_allclose(np.asarray(sqp.Ax(v)),
+                                   np.asarray(dqp.Ax(v)), atol=1e-12)
+        np.testing.assert_allclose(np.asarray(sqp.Aty(y)),
+                                   np.asarray(dqp.Aty(y)), atol=1e-12)
+        np.testing.assert_allclose(np.asarray(sqp.H_diag()),
+                                   np.asarray(dqp.H_diag()), atol=1e-12)
+
+
+class TestSparseIPM:
+    def test_matches_dense_ipm(self):
+        sqp, dqp = grid_qp()
+        xs, ys, zs, sts = ipm_solve(sqp)
+        xd, yd, zd, std = ipm_solve(dqp)
+        assert int(sts.status) == 0
+        assert max(float(r) for r in kkt_residuals(sqp, xs, ys, zs)) < 1e-6
+        np.testing.assert_allclose(np.asarray(xs), np.asarray(xd), atol=1e-7)
+
+    def test_equality_and_fixed(self):
+        """Equality rows (C=0) and fixed variables through the sparse
+        augmented system (quasi-definite with -delta regularization)."""
+        sqp, _ = grid_qp(k=5, seed=3)
+        n, m = sqp.n, sqp.m
+        c_eq = jnp.asarray(np.full(m, 1.5))
+        import dataclasses
+        sqp = dataclasses.replace(
+            sqp, c_l=c_eq, c_u=c_eq,
+            x_l=sqp.x_l.at[0].set(0.7), x_u=sqp.x_u.at[0].set(0.7))
+        x, y, z, st = ipm_solve(sqp)
+        assert int(st.status) == 0
+        assert abs(float(x[0]) - 0.7) < 1e-8
+        assert float(jnp.max(jnp.abs(sqp.Ax(x) - c_eq))) < 1e-6
+
+    def test_sparse_lp(self):
+        """LP (no H) through the sparse path."""
+        rng = np.random.default_rng(5)
+        n, m = 40, 20
+        ar = np.repeat(np.arange(m), 2)
+        ac = np.stack([np.arange(m), np.arange(m) + n - m]).T.reshape(-1)
+        av = rng.uniform(0.5, 1.5, 2 * m)
+        sqp = make_sparse_qp(n, m, a_coo=(ar, ac, av),
+                             g=rng.uniform(-1, -0.1, n),
+                             c_l=np.full(m, -1e20), c_u=np.ones(m),
+                             x_l=np.zeros(n), x_u=np.full(n, 10.0))
+        x, y, z, st = ipm_solve(sqp)
+        assert int(st.status) == 0
+        assert max(float(r) for r in kkt_residuals(sqp, x, y, z)) < 1e-6
+
+
+class TestQPLIBSparse:
+    @pytest.mark.parametrize("name,obj", [("QPBAND", -3.14333),
+                                          ("LPBAND", -6.0)])
+    def test_fixture_sparse_solve(self, name, obj):
+        sqp = qplib.read_sparse_qp(f"/root/reference/examples/{name}.qplib")
+        assert isinstance(sqp, SparseQP)
+        x, y, z, st = ipm_solve(sqp)
+        assert int(st.status) == 0
+        assert abs(float(sqp.objective(x)) - obj) < 1e-4
+        assert max(float(r) for r in kkt_residuals(sqp, x, y, z)) < 1e-6
+
+    def test_coo_storage_no_densify(self):
+        p = qplib.load("/root/reference/examples/QPBAND.qplib")
+        hr, hc, hv = p.H_coo
+        assert len(hr) < p.n * 3          # O(nnz), not O(n^2)
+        assert (hr >= hc).all()
