@@ -31,5 +31,15 @@ if not _os.environ.get("GALAHAD_TPU_NO_COMPILE_CACHE"):
     except Exception:  # pragma: no cover - cache is best-effort
         pass
 
+# Direct linear solvers cannot tolerate TPU's default bf16-pass matmuls:
+# every factorization/backsolve here must run at full input precision
+# (the f32-factor + compensated-residual design of SURVEY §7.3 assumes
+# true f32 MXU passes).  Opt out with GALAHAD_TPU_FAST_MATMUL=1.
+if not _os.environ.get("GALAHAD_TPU_FAST_MATMUL"):
+    try:
+        _jax.config.update("jax_default_matmul_precision", "highest")
+    except Exception:  # pragma: no cover
+        pass
+
 from .core.problem import QP, NLP, INFINITY, classify_bounds  # noqa: F401
 from .core.status import Status  # noqa: F401

@@ -160,20 +160,32 @@ class SparseQP:
         UNregularized K (the IR role, reference src/ir/ir.f90:334)."""
         from ..linalg.sbls import sparse_kkt_factorize, sparse_kkt_plan
 
+        from ..linalg.dw import dw_add, two_sum
+
         plan = sparse_kkt_plan(self.h_pat, self.a_pat, self.n)
         fac = sparse_kkt_factorize(
             plan, self.h_vals, self.a_vals, D_x, C_diag,
             rho=ctl.rho if ctl.rho else 1e-8, delta=ctl.delta)
         n = self.n
 
+        def Kmul(u):
+            u1, u2 = u[:n], u[n:]
+            return jnp.concatenate([
+                self.Hx(u1) + D_x * u1 + self.Aty(u2),
+                self.Ax(u1) - C_diag * u2,
+            ])
+
         def kkt_solve(b1, b2):
+            # double-word iterate IR: f32 factors still deliver ~1e-6
+            # KKT residuals (SURVEY §7.3; linalg/dw.py)
             b = jnp.concatenate([b1, b2])
-            u = plan.solve(fac, b)
+            xh = plan.solve(fac, b)
+            xl = jnp.zeros_like(xh)
             for _ in range(ctl.refine):
-                u1, u2 = u[:n], u[n:]
-                r1 = b1 - (self.Hx(u1) + D_x * u1 + self.Aty(u2))
-                r2 = b2 - (self.Ax(u1) - C_diag * u2)
-                u = u + plan.solve(fac, jnp.concatenate([r1, r2]))
+                rh, rl = two_sum(b, -Kmul(xh))
+                r = (rh - Kmul(xl)) + rl
+                xh, xl = dw_add(xh, xl, plan.solve(fac, r))
+            u = xh + xl
             return u[:n], -u[n:]
 
         return kkt_solve

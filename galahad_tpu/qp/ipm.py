@@ -165,13 +165,17 @@ def _avg_complementarity(qp, masks, x, c, z_l, z_u, y_l, y_u):
 
 def _residuals(qp: QP, masks: BoundMasks, st: IPMState):
     """(r_p, r_d, comp) inf-norms for the termination test
-    (componentwise test, reference cqp.f90:4369-4385)."""
+    (componentwise test, reference cqp.f90:4369-4385).  Residual terms
+    combine with compensated summation so the cancellation to ~1e-6 is
+    measured faithfully in f32 (linalg/dw.py, SURVEY §7.3)."""
+    from ..linalg.dw import residual as dw_residual
+
     z = st.z_l - st.z_u
-    r_d = qp.Hx(st.x) + qp.g - z
     if qp.m > 0:
-        r_d = r_d - qp.Aty(st.y)
-        r_p = qp.Ax(st.x) - st.c
+        r_d = dw_residual(qp.Hx(st.x), -qp.g, z, qp.Aty(st.y))
+        r_p = dw_residual(qp.Ax(st.x), st.c)
     else:
+        r_d = dw_residual(qp.Hx(st.x), -qp.g, z)
         r_p = jnp.zeros((0,), qp.g.dtype)
     r_d = jnp.where(masks.x_fixed, 0.0, r_d)
     s_l, s_u, t_l, t_u = _distances(qp, masks, st.x, st.c)

@@ -194,21 +194,30 @@ class BandedQP:
                                       (x0, r0, z0, p0, rz0))
                 return x
 
+        def block_solve(r1, r2):
+            w = g_solve(r1)
+            dv = s_solve(self.Ax(w) - r2)
+            dx = g_solve(r1 - self.Aty(dv))
+            return dx, dv
+
         def kkt_solve(b1, b2):
-            # solve [[G, A'],[A, -C]][x; v] = [b1; b2]; return (x, -v)
-            w = g_solve(b1)
-            v = s_solve(self.Ax(w) - b2)
-            x = g_solve(b1 - self.Aty(v))
-            # one refinement sweep against the true blocks
+            # solve [[G, A'],[A, -C]][x; v] = [b1; b2]; return (x, -v).
+            # Refinement carries (x, v) as double-word pairs so f32
+            # factors reach ~1e-6 KKT (linalg/dw.py, SURVEY §7.3).
+            from ..linalg.dw import dw_add, two_sum
+
+            x, v = block_solve(b1, b2)
+            xl = jnp.zeros_like(x)
+            vl = jnp.zeros_like(v)
             for _ in range(ctl.refine):
-                r1 = b1 - (apply_G(x) + self.Aty(v))
-                r2 = b2 - (self.Ax(x) - C_diag * v)
-                dw = g_solve(r1)
-                dv = s_solve(self.Ax(dw) - r2)
-                dx = g_solve(r1 - self.Aty(dv))
-                x = x + dx
-                v = v + dv
-            return x, -v
+                r1h, r1l = two_sum(b1, -(apply_G(x) + self.Aty(v)))
+                r2h, r2l = two_sum(b2, -(self.Ax(x) - C_diag * v))
+                r1 = (r1h - (apply_G(xl) + self.Aty(vl))) + r1l
+                r2 = (r2h - (self.Ax(xl) - C_diag * vl)) + r2l
+                dx, dv = block_solve(r1, r2)
+                x, xl = dw_add(x, xl, dx)
+                v, vl = dw_add(v, vl, dv)
+            return x + xl, -(v + vl)
 
         return kkt_solve
 
