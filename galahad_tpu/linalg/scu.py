@@ -8,16 +8,23 @@ solve
     [ C  D ] [x2] = [b2]
 
 where the caller owns a factorization of A (passed as a solve closure)
-and the border grows/shrinks as an active set changes.  The reference
-maintains a dense factorization of the Schur complement S = D - C A^-1 B
-updated per append/delete.
+and the border grows/shrinks as an active set changes.
 
 TPU re-design: the border lives in FIXED-capacity buffers (cap rows)
-with a validity count — append/delete are O(cap^2) masked updates, so
-shapes stay static under jit and active-set loops compile once
-(SURVEY §7.3).  S is kept explicitly and solved densely per operation
-(cap is small in all reference uses: working-set changes, crossover).
-"""
+with a validity count — shapes stay static under jit so active-set
+loops compile once (SURVEY §7.3).  The solved border W = A^-1 B is
+CACHED, so
+
+  * append = ONE A-solve + O(cap * n) row/column fill of S
+    (the reference's incremental cost, scu.f90:811 — round-1 VERDICT
+    item 9 replaced a full S refresh of O(cap) solves);
+  * delete = a swap-compaction with NO A-solves at all (S entries only
+    couple surviving border members);
+  * refresh = the escape hatch that rebuilds W and S from scratch to
+    squash accumulated rounding (the reference's refactorize path).
+
+S is kept explicit and solved densely per operation (cap is small in
+all reference uses: working-set changes, crossover)."""
 from __future__ import annotations
 
 import dataclasses
@@ -30,15 +37,16 @@ import jax.numpy as jnp
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["B", "C", "D", "S", "count"],
+    data_fields=["B", "C", "D", "S", "W", "count"],
     meta_fields=["cap", "n"],
 )
 @dataclasses.dataclass
 class SCUState:
     B: Any        # (n, cap) border columns
     C: Any        # (cap, n) border rows
-    D: Any        # (cap, cap) corner block
+    D: Any        # (cap, cap) corner block (diagonal entries via append)
     S: Any        # (cap, cap) Schur complement (identity on unused slots)
+    W: Any        # (n, cap) cached A^-1 B
     count: Any    # int32 active border size
     cap: int = 0
     n: int = 0
@@ -49,6 +57,7 @@ def scu_setup(n: int, cap: int, dtype=jnp.float64) -> SCUState:
     return SCUState(
         B=z((n, cap), dtype), C=z((cap, n), dtype),
         D=z((cap, cap), dtype), S=jnp.eye(cap, dtype=dtype),
+        W=z((n, cap), dtype),
         count=jnp.array(0, jnp.int32), cap=cap, n=n,
     )
 
@@ -60,20 +69,32 @@ def _mask(state: SCUState):
 def scu_append(state: SCUState, a_solve: Callable, b_col, c_row, d_val
                ) -> SCUState:
     """Grow the border by one (row, column): SCU_append equivalent.
-    b_col (n,), c_row (n,), d_val scalar."""
+    b_col (n,), c_row (n,), d_val scalar.  Cost: ONE A-solve plus
+    O(cap * n) fill of the new S row/column (scu.f90:811)."""
     j = state.count
+    old = _mask(state)                       # existing slots (before grow)
+    w = a_solve(b_col)                       # the single solve
     B = state.B.at[:, j].set(b_col)
     C = state.C.at[j, :].set(c_row)
     D = state.D.at[j, j].set(d_val)
-    state = dataclasses.replace(state, B=B, C=C, D=D, count=j + 1)
-    return scu_refresh(state, a_solve)
+    W = state.W.at[:, j].set(w)
+    # S[:, j] = D[:, j] - C w ;  S[j, :] = D[j, :] - c_row W ;
+    # D off-(j,j) entries of the new row/col are zero by contract.
+    s_col = jnp.where(old, -(state.C @ w), 0.0)
+    s_row = jnp.where(old, -(c_row @ state.W), 0.0)
+    s_jj = d_val - jnp.vdot(c_row, w)
+    S = state.S.at[:, j].set(s_col).at[j, :].set(s_row).at[j, j].set(s_jj)
+    return dataclasses.replace(state, B=B, C=C, D=D, S=S, W=W, count=j + 1)
 
 
 def scu_delete(state: SCUState, a_solve: Callable, idx) -> SCUState:
-    """Remove border entry idx (SCU_delete): compact by swapping the last
-    active slot into idx, then rebuild S from the stored blocks (cap is
-    small in every reference use; one masked O(cap^2 n) matmul)."""
+    """Remove border entry idx (SCU_delete): swap the last active slot
+    into idx and shrink.  NO A-solves: W is cached and surviving S
+    entries are untouched by the removal (cheaper than the reference's
+    O(border^2) update, scu.f90:1176)."""
+    del a_solve  # kept for signature compatibility; not needed
     last = state.count - 1
+
     def swap_rowcol(M, i, j, axis):
         Mi = jnp.take(M, i, axis=axis)
         Mj = jnp.take(M, j, axis=axis)
@@ -82,13 +103,16 @@ def scu_delete(state: SCUState, a_solve: Callable, idx) -> SCUState:
         return M
 
     B = swap_rowcol(state.B, idx, last, 1)
+    W = swap_rowcol(state.W, idx, last, 1)
     C = swap_rowcol(state.C, idx, last, 0)
     D = swap_rowcol(swap_rowcol(state.D, idx, last, 0), idx, last, 1)
+    S = swap_rowcol(swap_rowcol(state.S, idx, last, 0), idx, last, 1)
     B = B.at[:, last].set(0.0)
+    W = W.at[:, last].set(0.0)
     C = C.at[last, :].set(0.0)
     D = D.at[last, :].set(0.0).at[:, last].set(0.0)
-    state = dataclasses.replace(state, B=B, C=C, D=D, count=last)
-    return scu_refresh(state, a_solve)
+    S = S.at[last, :].set(0.0).at[:, last].set(0.0).at[last, last].set(1.0)
+    return dataclasses.replace(state, B=B, C=C, D=D, S=S, W=W, count=last)
 
 
 def _set_along(M, i, v, axis):
@@ -98,14 +122,16 @@ def _set_along(M, i, v, axis):
 
 
 def scu_refresh(state: SCUState, a_solve: Callable) -> SCUState:
-    """Recompute S = D - C A^-1 B on the active slots (used after
-    delete, or to squash accumulated update error — the reference's
-    refactorize escape hatch)."""
+    """Recompute W = A^-1 B and S = D - C W on the active slots from
+    scratch (the bounded-error escape hatch — the reference's
+    refactorize; one batched solve)."""
     m = _mask(state)
-    S = state.D - state.C @ a_solve(state.B)
+    W = a_solve(state.B)
+    S = state.D - state.C @ W
     S = jnp.where(jnp.outer(m, m), S, 0.0)
     S = S + jnp.diag(jnp.where(m, 0.0, 1.0))
-    return dataclasses.replace(state, S=S)
+    W = jnp.where(m[None, :], W, 0.0)
+    return dataclasses.replace(state, S=S, W=W)
 
 
 def scu_solve(state: SCUState, a_solve: Callable, b1, b2):
@@ -117,5 +143,6 @@ def scu_solve(state: SCUState, a_solve: Callable, b1, b2):
     rhs2 = jnp.where(m, b2 - state.C @ w, 0.0)
     x2 = jnp.linalg.solve(state.S, rhs2)
     x2 = jnp.where(m, x2, 0.0)
-    x1 = a_solve(b1 - state.B @ x2)
+    # x1 = A^-1 b1 - A^-1 B x2 = w - W x2 (no second solve needed)
+    x1 = w - state.W @ x2
     return x1, x2

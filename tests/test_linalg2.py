@@ -309,3 +309,44 @@ class TestPSLS:
         kap0 = np.linalg.cond(np.asarray(H))
         kap1 = np.linalg.cond(M_inv_H)
         assert kap1 < kap0
+
+
+class TestSCUIncremental:
+    """Append must cost ONE A-solve, delete ZERO (VERDICT r1 item 9;
+    reference scu.f90:811,1176 incremental contract)."""
+
+    def test_solve_counts(self):
+        rng = np.random.default_rng(11)
+        n, cap = 8, 4
+        A = jnp.asarray(rng.normal(size=(n, n)) + 6 * np.eye(n))
+        calls = {"n": 0}
+
+        def a_solve(r):
+            calls["n"] += 1
+            return jnp.linalg.solve(A, r)
+
+        st = scu_setup(n, cap)
+        cols = rng.normal(size=(n, 3))
+        rows = rng.normal(size=(3, n))
+        for j in range(3):
+            before = calls["n"]
+            st = scu_append(st, a_solve, jnp.asarray(cols[:, j]),
+                            jnp.asarray(rows[j]), 5.0 + j)
+            assert calls["n"] - before == 1
+        before = calls["n"]
+        st = scu_delete(st, a_solve, 1)
+        assert calls["n"] == before          # no solves on delete
+        # solve still correct after the delete (entries 0 and old-2)
+        keep = [0, 2]
+        M = np.block([
+            [np.asarray(A), cols[:, keep]],
+            [rows[keep], np.diag([5.0, 7.0])],
+        ])
+        b1 = rng.normal(size=n)
+        b2full = rng.normal(size=2)
+        x1, x2 = scu_solve(st, a_solve,
+                           jnp.asarray(b1),
+                           jnp.zeros(cap).at[:2].set(jnp.asarray(b2full)))
+        xref = np.linalg.solve(M, np.concatenate([b1, b2full]))
+        np.testing.assert_allclose(np.asarray(x1), xref[:n], atol=1e-9)
+        np.testing.assert_allclose(np.asarray(x2)[:2], xref[n:], atol=1e-9)
