@@ -70,6 +70,7 @@ def _solve_one(path, ctl):
         complementary_slackness=float(rc),
         iterations=int(it) if it is not None else -1,
         time=wall,
+        inform=getattr(info, "inform", None),
         x=x, y=y, z=z,
     )
 
@@ -78,7 +79,7 @@ def cmd_solve(args) -> int:
     ctl = _build_control(args)
     r = _solve_one(args.problem, ctl)
     if args.json:
-        out = {k: v for k, v in r.items() if k not in ("x", "y", "z")}
+        out = {k: v for k, v in r.items() if k not in ("x", "y", "z", "inform")}
         print(json.dumps(out))
     else:
         print(f" problem        {r['name']}")
@@ -91,6 +92,22 @@ def cmd_solve(args) -> int:
         print(f" compl. slack   {r['complementary_slackness']:.2e}")
         print(f" iterations     {r['iterations']}")
         print(f" time (s)       {r['time']:.3f}")
+        inform = r.get("inform")
+        if inform is not None:
+            # GALAHAD-style footer: phase clocks + factorization counts
+            # (reference cqp.f90:2926-2933 iteration footer and
+            # PKG_time_type cqp.f90:429-473)
+            t = inform.time
+            print(f" factorizations {inform.nfacts}   backsolves {inform.nbacts}")
+            print(f" phase times    preprocess {t.preprocess:.3f}  "
+                  f"analyse+compile {t.analyse:.3f}  solve {t.solve:.3f}  "
+                  f"total {t.total:.3f}")
+            if inform.checkpoints_iter is not None:
+                marks = [f"1e-{i+1}:{int(it_)}"
+                         for i, it_ in enumerate(inform.checkpoints_iter[:8])
+                         if int(it_) >= 0]
+                if marks:
+                    print(f" checkpoints    {' '.join(marks)}")
     if args.solution_file:
         import numpy as np
         with open(args.solution_file, "w") as fh:

@@ -61,6 +61,10 @@ class IPMControl:
     tau: float = 0.995          # fraction-to-boundary factor
     series_order: int = 2       # 1 = pure Newton, 2 = Mehrotra PC, 3+ extra correctors
     mu_min_factor: float = 1.0e-12
+    infeas_max: int = 10        # consecutive non-improving iterations before
+                                # declaring infeasibility (cqp.f90:163-168)
+    reduce_infeas: float = 0.98  # required per-iteration infeasibility factor
+    clock_time_limit: float = -1.0  # wall seconds; < 0 = no limit (cqp.f90:311-317)
     infinity: float = INFINITY
     dtype: str = "float64"
 
@@ -68,8 +72,8 @@ class IPMControl:
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["x", "c", "y", "z_l", "z_u", "y_l", "y_u", "mu",
-                 "iter", "converged", "status",
-                 "res_p", "res_d", "res_c"],
+                 "iter", "converged", "halt", "status",
+                 "res_p", "res_d", "res_c", "best_infeas", "stall"],
     meta_fields=[],
 )
 @dataclasses.dataclass
@@ -84,10 +88,13 @@ class IPMState:
     mu: Any
     iter: Any
     converged: Any
+    halt: Any         # stop the loop (success OR declared failure)
     status: Any
     res_p: Any
     res_d: Any
     res_c: Any
+    best_infeas: Any  # best primal infeasibility so far (divergence guard)
+    stall: Any        # consecutive non-improving iterations
 
 
 def _safe_div(a, b, mask):
@@ -132,8 +139,10 @@ def ipm_init(qp: QP, masks: BoundMasks, ctl: IPMControl) -> IPMState:
         x=x, c=c, y=y, z_l=z_l, z_u=z_u, y_l=y_l, y_u=y_u, mu=mu,
         iter=jnp.array(0, jnp.int32),
         converged=jnp.array(False),
+        halt=jnp.array(False),
         status=jnp.array(int(Status.MAX_ITERATIONS), jnp.int32),
         res_p=inf, res_d=inf, res_c=inf,
+        best_infeas=inf, stall=jnp.array(0, jnp.int32),
     )
 
 
@@ -377,11 +386,33 @@ def ipm_step(qp: QP, masks: BoundMasks, st: IPMState, ctl: IPMControl) -> IPMSta
         & (res_d <= ctl.stop_abs_d)
         & (res_c <= ctl.stop_abs_c)
     )
+    # --- failure guards ------------------------------------------------
+    # Divergence: infeas_max consecutive iterations without the primal
+    # infeasibility improving by reduce_infeas -> declare infeasible
+    # (reference cqp.f90:163-168 control semantics).
+    improved = res_p <= ctl.reduce_infeas * st.best_infeas
+    feas_now = res_p <= ctl.stop_abs_p
+    stall = jnp.where(improved | feas_now, 0, st.stall + 1).astype(jnp.int32)
+    # Stalled step lengths: no movement possible.  With stubbornly large
+    # primal infeasibility this IS the infeasibility certificate; on a
+    # feasible problem it is a plain TINY_STEP stall (-13).
+    tiny_step = (jnp.maximum(a_p, a_d) < 1e-10) & ~conv
+    infeasible = ((stall >= ctl.infeas_max)
+                  | (tiny_step & (stall >= 2))) & ~feas_now
+    tiny = tiny_step & ~infeasible
+    status = jnp.where(
+        conv, int(Status.OK),
+        jnp.where(infeasible, int(Status.PRIMAL_INFEASIBLE),
+                  jnp.where(tiny, int(Status.TINY_STEP), new.status)),
+    ).astype(jnp.int32)
     return dataclasses.replace(
         new,
         res_p=res_p, res_d=res_d, res_c=res_c,
         converged=conv,
-        status=jnp.where(conv, int(Status.OK), new.status).astype(jnp.int32),
+        halt=conv | infeasible | tiny,
+        status=status,
+        best_infeas=jnp.minimum(st.best_infeas, res_p),
+        stall=stall,
     )
 
 
@@ -431,6 +462,37 @@ def extract_solution(qp: QP, masks: BoundMasks, st: IPMState):
     return st.x, st.y, z
 
 
+@dataclasses.dataclass
+class PhaseTimes:
+    """Per-phase wall clocks (the PKG_time_type contract,
+    reference src/cqp/cqp.f90:429-473)."""
+
+    total: float = 0.0
+    preprocess: float = 0.0      # init / bound classification
+    analyse: float = 0.0         # first-step trace+compile (symbolic work)
+    solve: float = 0.0           # iteration wall time after compile
+
+
+@dataclasses.dataclass
+class IPMInform:
+    """Host-side inform record (reference CQP_inform_type,
+    src/cqp/cqp.f90:484-575): status + statistics + per-phase times +
+    convergence-history checkpoints (checkpoint.f90:37-62 wired in at
+    cqp.f90:566)."""
+
+    status: int = int(Status.MAX_ITERATIONS)
+    iter: int = 0
+    nfacts: int = 0              # KKT factorizations (one per iteration)
+    nbacts: int = 0              # backsolves (series + refinement sweeps)
+    obj: float = 0.0
+    primal_infeasibility: float = float("inf")
+    dual_infeasibility: float = float("inf")
+    complementary_slackness: float = float("inf")
+    time: PhaseTimes = dataclasses.field(default_factory=PhaseTimes)
+    checkpoints_iter: Any = None   # (16,) first iter with res <= 10^-i
+    checkpoints_time: Any = None   # (16,) first wall time with res <= 10^-i
+
+
 @partial(jax.jit, static_argnames=("ctl", "h_kind"))
 def _jitted_step(qp: QP, masks: BoundMasks, st: IPMState, ctl: IPMControl,
                  h_kind: str):
@@ -440,18 +502,77 @@ def _jitted_step(qp: QP, masks: BoundMasks, st: IPMState, ctl: IPMControl,
 def ipm_solve(qp: QP, ctl: IPMControl = IPMControl()):
     """Host-loop driver (single problem, early exit).
 
-    Returns (x, y, z, state) — state carries status/iterations/residuals
-    (the inform contract, reference cqp.f90:484-575).
-    """
+    Returns (x, y, z, state) — state carries status/iterations/residuals;
+    a host-side ``state.inform`` (IPMInform) adds per-phase wall times,
+    factorization/backsolve counts, and residual-history checkpoints
+    (the inform contract, reference cqp.f90:484-575)."""
+    import time as _time
+
+    from ..core.checkpoint import checkpoint_init, checkpoint_update
+
+    t_start = _time.perf_counter()
     masks = classify_bounds(qp, ctl.infinity)
     st = ipm_init(qp, masks, ctl)
     qp = dataclasses.replace(qp, name="")   # avoid per-name recompilation
-    for _ in range(ctl.maxit):
+    t_pre = _time.perf_counter()
+    cp = checkpoint_init()
+    t_analyse = 0.0
+    t_solve = 0.0
+    timed_out = False
+    for k in range(ctl.maxit):
+        t0 = _time.perf_counter()
         st = _jitted_step(qp, masks, st, ctl, qp.h_kind)
-        if bool(st.converged):
+        st.res_p.block_until_ready()
+        dt_it = _time.perf_counter() - t0
+        if k == 0:
+            t_analyse = dt_it            # trace + compile + first iter
+        else:
+            t_solve += dt_it
+        cp = checkpoint_update(
+            cp, jnp.maximum(st.res_p, jnp.maximum(st.res_d, st.res_c)),
+            int(st.iter), _time.perf_counter() - t_start)
+        if bool(st.halt):
             break
+        if (ctl.clock_time_limit >= 0
+                and _time.perf_counter() - t_start > ctl.clock_time_limit):
+            timed_out = True
+            break
+    if timed_out and not bool(st.converged):
+        st = dataclasses.replace(
+            st, halt=jnp.array(True),
+            status=jnp.array(int(Status.CPU_LIMIT), jnp.int32))
     x, y, z = extract_solution(qp, masks, st)
+    iters = int(st.iter)
+    st.inform = IPMInform(
+        status=int(st.status), iter=iters,
+        nfacts=iters,
+        nbacts=iters * max(ctl.series_order, 1) * (1 + ctl.refine),
+        obj=float(qp.objective(x)),
+        primal_infeasibility=float(st.res_p),
+        dual_infeasibility=float(st.res_d),
+        complementary_slackness=float(st.res_c),
+        time=PhaseTimes(
+            total=_time.perf_counter() - t_start,
+            preprocess=t_pre - t_start,
+            analyse=t_analyse,
+            solve=t_solve,
+        ),
+        checkpoints_iter=np_asarray_int(cp.iters),
+        checkpoints_time=np_asarray_f(cp.times),
+    )
     return x, y, z, st
+
+
+def np_asarray_int(a):
+    import numpy as _np
+
+    return _np.asarray(a, _np.int32)
+
+
+def np_asarray_f(a):
+    import numpy as _np
+
+    return _np.asarray(a, _np.float64)
 
 
 def ipm_solve_compiled(qp: QP, ctl: IPMControl = IPMControl()):
@@ -462,7 +583,7 @@ def ipm_solve_compiled(qp: QP, ctl: IPMControl = IPMControl()):
     st0 = ipm_init(qp, masks, ctl)
 
     def cond(st):
-        return (~st.converged) & (st.iter < ctl.maxit)
+        return (~st.halt) & (st.iter < ctl.maxit)
 
     def body(st):
         return ipm_step(qp, masks, st, ctl)

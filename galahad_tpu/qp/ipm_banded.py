@@ -229,7 +229,7 @@ def ipm_solve_banded(qp: BandedQP, ctl: IPMControl = IPMControl()):
     step = jax.jit(lambda q, mk, s: ipm_step(q, mk, s, ctl))
     for _ in range(ctl.maxit):
         st = step(qp, masks, st)
-        if bool(st.converged):
+        if bool(st.halt):
             break
     x, y, z = extract_solution(qp, masks, st)
     return x, y, z, st
@@ -241,7 +241,7 @@ def ipm_solve_banded_compiled(qp: BandedQP, ctl: IPMControl = IPMControl()):
     st0 = ipm_init(qp, masks, ctl)
 
     def cond(st):
-        return (~st.converged) & (st.iter < ctl.maxit)
+        return (~st.halt) & (st.iter < ctl.maxit)
 
     def body(st):
         return ipm_step(qp, masks, st, ctl)

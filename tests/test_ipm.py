@@ -211,3 +211,50 @@ class TestBatched:
             x_ref, _, _, _ = ipm_solve(qps[s])
             np.testing.assert_allclose(np.asarray(xs[s]), np.asarray(x_ref),
                                        atol=1e-5)
+
+
+class TestGuardsAndInform:
+    """Failure guards + inform contract (VERDICT r1 items 7/10;
+    reference cqp.f90:163-168 infeas_max, :311-317 time limits,
+    :429-575 time/inform types, checkpoint.f90:37-62)."""
+
+    def _infeasible_qp(self):
+        # x >= 2 but A x <= 1 with A = I: primal infeasible
+        n = 4
+        return QP(
+            H=jnp.eye(n), g=jnp.zeros(n), A=jnp.eye(n),
+            c_l=jnp.full(n, -1e20), c_u=jnp.full(n, 1.0),
+            x_l=jnp.full(n, 2.0), x_u=jnp.full(n, 1e20),
+        )
+
+    def test_infeasible_detected_early(self):
+        from galahad_tpu.core.status import Status
+
+        qp = self._infeasible_qp()
+        ctl = IPMControl(maxit=100, infeas_max=8)
+        x, y, z, st = ipm_solve(qp, ctl)
+        assert int(st.status) == int(Status.PRIMAL_INFEASIBLE)
+        assert int(st.iter) < 100          # declared, not exhausted
+        assert not bool(st.converged)
+
+    def test_inform_contract(self):
+        qp = random_convex_qp(10, 4, seed=7)
+        x, y, z, st = ipm_solve(qp)
+        inf = st.inform
+        assert inf.status == 0
+        assert inf.nfacts == int(st.iter)
+        assert inf.nbacts >= inf.nfacts
+        assert inf.time.total > 0
+        assert inf.time.total >= inf.time.solve
+        # residual-history checkpoints: 1e-1 ... must be attained
+        assert inf.checkpoints_iter[0] >= 0
+        assert inf.checkpoints_iter[5] >= inf.checkpoints_iter[0]
+
+    def test_time_limit(self):
+        from galahad_tpu.core.status import Status
+
+        qp = self._infeasible_qp()          # will not converge
+        ctl = IPMControl(maxit=10000, infeas_max=10000,
+                         clock_time_limit=0.0)
+        x, y, z, st = ipm_solve(qp, ctl)
+        assert int(st.status) == int(Status.CPU_LIMIT)
