@@ -183,7 +183,7 @@ def roots_quartic(a0, a1, a2, a3, a4, tol: float = _EPS):
 
     shift = b / 4.0
     cand = jnp.concatenate([r1, r2], axis=-1) - shift[..., None]
-    coeffs = (a0, a1, a2, a3, a4)
+    coeffs = tuple(c[..., None] for c in (a0, a1, a2, a3, a4))
     cand = jnp.where(jnp.isfinite(cand), _newton_polish(coeffs, cand), cand)
     roots4 = jnp.sort(cand, axis=-1)
     n4 = (n1 + n2).astype(jnp.int32)

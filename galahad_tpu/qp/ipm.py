@@ -60,6 +60,9 @@ class IPMControl:
     refine: int = 2             # iterative-refinement sweeps per solve
     tau: float = 0.995          # fraction-to-boundary factor
     series_order: int = 2       # 1 = pure Newton, 2 = Mehrotra PC, 3+ extra correctors
+    arc: str = "mehrotra"       # "mehrotra" | "taylor" (Zhang arc, Taylor
+                                # series order <= 4 with ROOTS step lengths,
+                                # reference cqp.f90:194-205, 8996)
     mu_min_factor: float = 1.0e-12
     infeas_max: int = 10        # consecutive non-improving iterations before
                                 # declaring infeasibility (cqp.f90:163-168)
@@ -300,23 +303,35 @@ def ipm_step(qp: QP, masks: BoundMasks, st: IPMState, ctl: IPMControl) -> IPMSta
         r_p = jnp.zeros((0,), dt)
     r_d = jnp.where(masks.x_fixed, 0.0, r_d)
 
-    def solve_direction(mu_target, corr):
+    def solve_direction(mu_target, corr, first=True):
         """Newton direction for target complementarity mu_target with
-        second-order correction terms ``corr`` (dicts of products)."""
-        r_cl = jnp.where(ml_x, mu_target - st.z_l * s_l - corr["xl"], 0.0)
-        r_cu = jnp.where(mu_x, mu_target - st.z_u * s_u - corr["xu"], 0.0)
-        b1 = -r_d + _safe_div(r_cl, s_l, ml_x) - _safe_div(r_cu, s_u, mu_x)
+        second-order correction terms ``corr`` (dicts of products).
+
+        ``first=False`` computes a HIGHER-ORDER series coefficient: the
+        linear (primal/dual) residuals are already removed by the
+        order-1 term, so those RHS blocks are zero and only the
+        complementarity convolution drives the solve (one extra
+        backsolve on the same factors — reference cqp.f90:345-349)."""
+        base_l = mu_target - st.z_l * s_l if first else mu_target
+        base_u = mu_target - st.z_u * s_u if first else mu_target
+        r_cl = jnp.where(ml_x, base_l - corr["xl"], 0.0)
+        r_cu = jnp.where(mu_x, base_u - corr["xu"], 0.0)
+        rd_k = r_d if first else jnp.zeros_like(r_d)
+        b1 = -rd_k + _safe_div(r_cl, s_l, ml_x) - _safe_div(r_cu, s_u, mu_x)
         b1 = jnp.where(masks.x_fixed, 0.0, b1)
         if m > 0:
-            r_tl = jnp.where(ml_c, mu_target - st.y_l * t_l - corr["cl"], 0.0)
-            r_tu = jnp.where(mu_c, mu_target - st.y_u * t_u - corr["cu"], 0.0)
+            rp_k = r_p if first else jnp.zeros_like(r_p)
+            base_tl = mu_target - st.y_l * t_l if first else mu_target
+            base_tu = mu_target - st.y_u * t_u if first else mu_target
+            r_tl = jnp.where(ml_c, base_tl - corr["cl"], 0.0)
+            r_tu = jnp.where(mu_c, base_tu - corr["cu"], 0.0)
             w = _safe_div(r_tl, t_l, ml_c) - _safe_div(r_tu, t_u, mu_c)
             b2 = jnp.where(
                 masks.c_free, 0.0,
-                -r_p + jnp.where(masks.c_equality, 0.0, w * C_diag),
+                -rp_k + jnp.where(masks.c_equality, 0.0, w * C_diag),
             )
             dx, dy = kkt_solve(b1, b2)
-            dc = qp.Ax(dx) + r_p
+            dc = qp.Ax(dx) + rp_k
             dy_l = _safe_div(r_tl - st.y_l * dc, t_l, ml_c)
             dy_u = _safe_div(r_tu + st.y_u * dc, t_u, mu_c)
         else:
@@ -350,6 +365,75 @@ def ipm_step(qp: QP, masks: BoundMasks, st: IPMState, ctl: IPMControl) -> IPMSta
         )
         sigma = (mu_aff / jnp.maximum(mu_now, 1e-30)) ** 3
         sigma = jnp.clip(sigma, 1e-4, 1.0 - 1e-4)
+
+    if ctl.arc == "taylor" and ctl.series_order >= 2:
+        # --- Zhang-arc Taylor series of order K <= 4 -------------------
+        # v(alpha) = v + sum_k alpha^k v^k following the path
+        #   residual(alpha) = (1 - alpha) residual,
+        #   S(alpha) Z(alpha) e = (1 - alpha) S Z e + alpha sigma mu e;
+        # order-k complementarity RHS is the convolution of lower-order
+        # coefficient products, one extra backsolve per order on the
+        # SAME factors (reference cqp.f90:194-205, 4237-4247,
+        # 5862-5935); the step is the exact smallest positive root of
+        # the per-component neighborhood polynomials via ROOTS
+        # (CQP_compute_lmaxstep, cqp.f90:8996).
+        K = min(ctl.series_order, 4)
+        coefs = [solve_direction(sigma * mu_now, zero_corr)]
+        for k in range(2, K + 1):
+            z0 = jnp.zeros((), dt)
+            conv = dict(xl=z0, xu=z0, cl=z0, cu=z0)
+            for j in range(1, k):
+                a, b_ = coefs[j - 1], coefs[k - j - 1]
+                conv = dict(
+                    xl=conv["xl"] + a["dx"] * b_["dz_l"],
+                    xu=conv["xu"] - a["dx"] * b_["dz_u"],
+                    cl=conv["cl"] + a["dc"] * b_["dy_l"],
+                    cu=conv["cu"] - a["dc"] * b_["dy_u"],
+                )
+            coefs.append(
+                solve_direction(jnp.asarray(0.0, dt), conv, first=False))
+        fams = [
+            (s_l, [c["dx"] for c in coefs], ml_x),
+            (s_u, [-c["dx"] for c in coefs], mu_x),
+            (st.z_l, [c["dz_l"] for c in coefs], ml_x),
+            (st.z_u, [c["dz_u"] for c in coefs], mu_x),
+        ]
+        if m > 0:
+            fams += [
+                (t_l, [c["dc"] for c in coefs], ml_c),
+                (t_u, [-c["dc"] for c in coefs], mu_c),
+                (st.y_l, [c["dy_l"] for c in coefs], ml_c),
+                (st.y_u, [c["dy_u"] for c in coefs], mu_c),
+            ]
+        # every-order selection: compute the max step of each truncation
+        # order and take the order whose arc permits the longest step
+        # (the reference's every_order / iorder loop, cqp.f90:6512-6545)
+        # — guards against higher-order coefficients exploding near the
+        # boundary and stalling the iteration.
+        alphas = []
+        for j in range(1, K + 1):
+            aj = jnp.asarray(1.0, dt)
+            for v0, deltas, mask in fams:
+                aj = jnp.minimum(
+                    aj, _arc_max_step(v0, deltas[:j], mask, tau))
+            alphas.append(aj * jnp.asarray(0.9999, dt))
+        alphas = jnp.stack(alphas)                      # (K,)
+        # prefer the higher order on (near-)ties
+        jbest = (K - 1) - jnp.argmax(alphas[::-1])
+        alpha = alphas[jbest]
+        # evaluate the chosen truncated arc at alpha (FIT polynomial
+        # evaluation of the Taylor coefficients, fit.f90:318 role); the
+        # common update x + a * d then applies sum_{k<=jbest} alpha^k v^k
+        from ..core.fit import polyval
+
+        d = {}
+        for key in coefs[0]:
+            cstack = jnp.stack(
+                [jnp.where(k <= jbest, 1.0, 0.0) * c[key]
+                 for k, c in enumerate(coefs)], axis=-1)
+            d[key] = polyval(cstack, alpha)
+        a_p = a_d = alpha
+    elif ctl.series_order >= 2:
         d = aff
         for _ in range(ctl.series_order - 1):
             corr = dict(
@@ -359,12 +443,14 @@ def ipm_step(qp: QP, masks: BoundMasks, st: IPMState, ctl: IPMControl) -> IPMSta
                 cu=-d["dy_u"] * d["dc"],
             )
             d = solve_direction(sigma * mu_now, corr)
+        a_p, a_d = _step_lengths(
+            masks, s_l, s_u, t_l, t_u, st, d, tau, dt, ml_x, mu_x, ml_c, mu_c
+        )
     else:
         d = aff
-
-    a_p, a_d = _step_lengths(
-        masks, s_l, s_u, t_l, t_u, st, d, tau, dt, ml_x, mu_x, ml_c, mu_c
-    )
+        a_p, a_d = _step_lengths(
+            masks, s_l, s_u, t_l, t_u, st, d, tau, dt, ml_x, mu_x, ml_c, mu_c
+        )
 
     # --- update ---
     x = st.x + a_p * d["dx"]
@@ -414,6 +500,26 @@ def ipm_step(qp: QP, masks: BoundMasks, st: IPMState, ctl: IPMControl) -> IPMSta
         best_infeas=jnp.minimum(st.best_infeas, res_p),
         stall=stall,
     )
+
+
+def _arc_max_step(v0, deltas, mask, tau):
+    """Largest alpha with  v(alpha) >= (1 - tau) v0  componentwise along
+    the polynomial arc v(alpha) = v0 + sum_k deltas[k-1] alpha^k: the
+    smallest positive root of  tau v0 + sum_k deltas[k-1] alpha^k  per
+    component, found in closed form (ROOTS role — the reference solves
+    the same per-component polynomials with ROOTS_quadratic/cubic/
+    quartic, CQP_compute_lmaxstep cqp.f90:8996; here one vmapped
+    quartic call covers every component)."""
+    from ..core.roots import roots_quartic, smallest_positive_root
+
+    a = [jnp.where(mask, tau * v0, 1.0)]
+    for dk in deltas:
+        a.append(jnp.where(mask, dk, 0.0))
+    while len(a) < 5:
+        a.append(jnp.zeros_like(v0))
+    nr, rts = roots_quartic(a[0], a[1], a[2], a[3], a[4])
+    best = smallest_positive_root(nr, rts)
+    return jnp.min(best, initial=jnp.inf)
 
 
 def _step_lengths(masks, s_l, s_u, t_l, t_u, st, d, tau, dt,
