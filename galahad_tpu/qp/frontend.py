@@ -107,29 +107,32 @@ def lsqp_solve(qp: QP, ctl: IPMControl = IPMControl()):
 class WCPControl:
     maxit: int = 100
     mu_target: float = 1.0       # target complementarity at the center
+    gamma_c: float = 0.1         # centrality band [gamma mu, mu / gamma]
+                                 # (WCP's gamma_c0, wcp.f90 controls)
     stop_p: float = 1.0e-8
+    stop_d: float = 1.0e-6
     infinity: float = INFINITY
 
 
 def wcp_solve(qp: QP, ctl: WCPControl = WCPControl()):
     """Find a well-centered strictly interior point of the polytope
-    {x : c_l <= Ax <= c_u, x_l <= x <= x_u} (WCP equivalent).
+    {x : c_l <= Ax <= c_u, x_l <= x <= x_u} (WCP equivalent,
+    reference src/wcp/wcp.f90:935).
 
-    Runs the primal-dual IPM on the zero objective but stops the barrier
-    decrease at mu_target instead of driving it to zero: the iterates
-    converge to the analytic-center path point at mu_target
-    (reference wcp.f90 finds exactly such mu-centered points).
-    Returns (x, y, z, state); state.converged means primal-feasible and
-    centered."""
+    Runs the primal-dual IPM on the zero objective with the barrier
+    target CLAMPED at mu_target; convergence requires primal AND dual
+    feasibility AND every active complementarity pair inside the
+    two-sided band [gamma_c * mu_target, mu_target / gamma_c] — the
+    reference's centered-point measures, not merely feasibility.
+    Returns (x, y, z, state); state.converged means centered."""
     work = dataclasses.replace(qp, H=None, h_kind="zero",
                                g=jnp.zeros_like(qp.g))
     ictl = IPMControl(
         maxit=ctl.maxit,
         stop_abs_p=ctl.stop_p,
-        stop_abs_d=1.0e-6,
-        # stop complementarity test at the target neighborhood: mu is no
-        # longer driven below mu_target, so res_c stalls near it
-        stop_abs_c=10.0 * ctl.mu_target,
+        stop_abs_d=ctl.stop_d,
+        mu_target=ctl.mu_target,
+        gamma_c=ctl.gamma_c,
         mu_min_factor=1.0,
         infinity=ctl.infinity,
     )

@@ -64,6 +64,11 @@ class IPMControl:
                                 # series order <= 4 with ROOTS step lengths,
                                 # reference cqp.f90:194-205, 8996)
     mu_min_factor: float = 1.0e-12
+    mu_target: float = 0.0      # > 0: stop the barrier AT this value and
+                                # converge to a mu-centered point (the WCP
+                                # mode, reference src/wcp/wcp.f90:935)
+    gamma_c: float = 0.1        # centrality band [gamma*mu_t, mu_t/gamma]
+                                # (WCP's gamma_c0 control)
     infeas_max: int = 10        # consecutive non-improving iterations before
                                 # declaring infeasibility (cqp.f90:163-168)
     reduce_infeas: float = 0.98  # required per-iteration infeasibility factor
@@ -365,6 +370,13 @@ def ipm_step(qp: QP, masks: BoundMasks, st: IPMState, ctl: IPMControl) -> IPMSta
         )
         sigma = (mu_aff / jnp.maximum(mu_now, 1e-30)) ** 3
         sigma = jnp.clip(sigma, 1e-4, 1.0 - 1e-4)
+        if ctl.mu_target > 0:
+            # WCP mode: the barrier target never drops below mu_target
+            # (reference wcp.f90 drives pairs TO mu, not to zero)
+            sigma = jnp.maximum(
+                sigma, jnp.asarray(ctl.mu_target, dt)
+                / jnp.maximum(mu_now, 1e-30))
+            sigma = jnp.minimum(sigma, 2.0)
 
     if ctl.arc == "taylor" and ctl.series_order >= 2:
         # --- Zhang-arc Taylor series of order K <= 4 -------------------
@@ -467,11 +479,30 @@ def ipm_step(qp: QP, masks: BoundMasks, st: IPMState, ctl: IPMControl) -> IPMSta
         iter=st.iter + 1,
     )
     res_p, res_d, res_c = _residuals(qp, masks, new)
-    conv = (
-        (res_p <= ctl.stop_abs_p)
-        & (res_d <= ctl.stop_abs_d)
-        & (res_c <= ctl.stop_abs_c)
-    )
+    if ctl.mu_target > 0:
+        # WCP convergence: feasibility + every active complementarity
+        # pair inside the two-sided band [gamma*mu_t, mu_t/gamma]
+        # (the centered-point measures of WCP_solve, wcp.f90:935)
+        mu_t = jnp.asarray(ctl.mu_target, dt)
+        ns_l, ns_u, nt_l, nt_u = _distances(qp, masks, new.x, new.c)
+
+        def in_band(prod, mask):
+            return jnp.all(jnp.where(
+                mask,
+                (prod >= ctl.gamma_c * mu_t) & (prod <= mu_t / ctl.gamma_c),
+                True))
+
+        cent = (in_band(new.z_l * ns_l, ml_x) & in_band(new.z_u * ns_u, mu_x))
+        if m > 0:
+            cent = cent & in_band(new.y_l * nt_l, ml_c) \
+                & in_band(new.y_u * nt_u, mu_c)
+        conv = (res_p <= ctl.stop_abs_p) & (res_d <= ctl.stop_abs_d) & cent
+    else:
+        conv = (
+            (res_p <= ctl.stop_abs_p)
+            & (res_d <= ctl.stop_abs_d)
+            & (res_c <= ctl.stop_abs_c)
+        )
     # --- failure guards ------------------------------------------------
     # Divergence: infeas_max consecutive iterations without the primal
     # infeasibility improving by reduce_infeas -> declare infeasible
