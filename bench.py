@@ -180,8 +180,12 @@ def bench_sparse_kkt(k=128):
         out = fac_solve(hv, av, Dx, Cd, b)
     out.block_until_ready()
     dt = (time.perf_counter() - t0) / iters
+    gflops = plan.sym.flops / dt / 1e9
+    # v5e peak: ~197 TFLOP/s bf16; full-precision f32 passes ~1/4 of it.
+    peak = 49e3 if jax.default_backend() == "tpu" else 100.0
     return dict(n_kkt=n + m, wall_s=round(dt, 4),
-                gflops=round(plan.sym.flops / dt / 1e9, 2),
+                kkt_factorize_gflops=round(gflops, 2),
+                mfu=round(gflops / peak, 4),
                 nnz_L=plan.sym.nnz_L)
 
 

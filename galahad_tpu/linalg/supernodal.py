@@ -318,8 +318,16 @@ def supernodal_factorize(sym: SupernodalSymbolic, vals, shift=0.0
         nb, Fpad = plan.frows.shape
         F = jnp.zeros((nb, Fpad, Fpad), dt)
         if len(plan.a_src):
-            F = F.at[jnp.asarray(plan.a_node), jnp.asarray(plan.a_fi),
-                     jnp.asarray(plan.a_fj)].add(vals[jnp.asarray(plan.a_src)])
+            an = jnp.asarray(plan.a_node)
+            afi = jnp.asarray(plan.a_fi)
+            afj = jnp.asarray(plan.a_fj)
+            v = vals[jnp.asarray(plan.a_src)]
+            F = F.at[an, afi, afj].add(v)
+            # mirror the strict-lower entries: fronts stay SYMMETRIC
+            # through the elimination (extend-add contributions already
+            # are), which lets the Pallas kernel read a column's row
+            # twin instead of dynamically slicing lanes
+            F = F.at[an, afj, afi].add(jnp.where(afi != afj, v, 0.0))
         ncols = jnp.asarray(plan.ncols)
         ii = jnp.arange(Fpad)
         # diagonal shift on the eliminated columns only (each global
@@ -343,17 +351,45 @@ def supernodal_factorize(sym: SupernodalSymbolic, vals, shift=0.0
             F = F.at[jnp.asarray(g["dst_nodes"])[:, None, None],
                      ppos[:, :, None], ppos[:, None, :]].add(
                 Gm, mode="drop")
-        F, dmn, ip, ineg, iz = _blocked_partial_ldlt(
-            F, ncols, plan.Cmax, plan.B)
-        dmin = jnp.minimum(dmin, dmn)
-        npos = npos + ip
-        nneg = nneg + ineg
-        nzero = nzero + iz
+        F = _partial_ldlt_dispatch(F, ncols, plan.Cmax, plan.B, plan.Fpad)
+        # a-posteriori pivot stats from the stored diagonal (the SSIDS
+        # threshold-check analogue): eliminated columns hold d_j there
+        dvec = jnp.diagonal(F, axis1=1, axis2=2)
+        dmin = jnp.minimum(
+            dmin, jnp.min(jnp.where(elim, jnp.abs(dvec), jnp.inf),
+                          initial=jnp.inf))
+        npos = npos + jnp.sum(elim & (dvec > 0)).astype(jnp.int32)
+        nneg = nneg + jnp.sum(elim & (dvec < 0)).astype(jnp.int32)
+        nzero = nzero + jnp.sum(elim & (dvec == 0)).astype(jnp.int32)
         levels_out.append(F)
     return SupernodalFactors(
         levels=levels_out, dmin=dmin,
         inertia=jnp.stack([npos, nneg, nzero]),
     )
+
+
+def _partial_ldlt_dispatch(F, ncols, cmax, B, Fpad):
+    """Pick the numeric partial-factor backend: the Pallas VMEM-resident
+    kernel on TPU for fronts that fit on-chip, else the XLA blocked
+    path (SURVEY §2.6 native checklist items 1-2)."""
+    from .pallas_kernels import MAX_PALLAS_FRONT
+
+    # MEASURED FINDING (v5e, 2026-08): for this workload — thousands of
+    # small fronts per level with a sequential column dependency — the
+    # XLA blocked path beats the VMEM-resident Pallas kernel ~7x
+    # (2.1 ms vs 15.2 ms at nb=2048/Fpad=64/cmax=32, 260 vs 35 GFLOP/s):
+    # XLA amortizes op latency across the WHOLE level per op, while a
+    # grid-sequential per-tile kernel is latency-bound (VMEM temporaries
+    # cap the fronts-per-program at ~8).  The kernel (pallas_kernels.py)
+    # is kept opt-in for future revisit: GALAHAD_TPU_PALLAS=1.
+    if (jax.default_backend() == "tpu" and F.dtype == jnp.float32
+            and Fpad <= MAX_PALLAS_FRONT
+            and bool(int(__import__("os").environ.get(
+                "GALAHAD_TPU_PALLAS", "0")))):
+        from .pallas_kernels import partial_ldlt_pallas
+
+        return partial_ldlt_pallas(F, ncols, cmax, B)
+    return _blocked_partial_ldlt(F, ncols, cmax, B)
 
 
 def _blocked_partial_ldlt(F, ncols, cmax, B):
@@ -370,26 +406,16 @@ def _blocked_partial_ldlt(F, ncols, cmax, B):
     ii = jnp.arange(Fpad)
     jB = jnp.arange(B)
 
-    def block_step(bi, carry):
-        F, dmin, npos, nneg, nzero = carry
+    def block_step(bi, F):
         b = bi * B
         P = lax.dynamic_slice(F, (0, 0, b), (nb, Fpad, B))
 
-        def col_step(j, carry):
-            P, dmin, npos, nneg, nzero = carry
+        def col_step(j, P):
             gcol = b + j
             active = gcol < ncols                          # (nb,)
             col = lax.dynamic_slice(P, (0, 0, j), (nb, Fpad, 1))[..., 0]
-            d = lax.dynamic_slice(P, (0, 0, j), (nb, Fpad, 1))
-            d = jnp.sum(jnp.where((ii == gcol)[None, :, None], d, 0.0),
-                        axis=(1, 2))                       # (nb,) diag value
-            absd = jnp.abs(d)
-            dmin = jnp.minimum(
-                dmin, jnp.min(jnp.where(active, absd, jnp.inf), initial=jnp.inf))
-            npos = npos + jnp.sum(active & (d > 0)).astype(jnp.int32)
-            nneg = nneg + jnp.sum(active & (d < 0)).astype(jnp.int32)
-            nzero = nzero + jnp.sum(active & (d == 0)).astype(jnp.int32)
-            dn = jnp.where(active & (absd > tiny), d, 1.0)
+            d = jnp.sum(jnp.where((ii == gcol)[None, :], col, 0.0), axis=1)
+            dn = jnp.where(active & (jnp.abs(d) > tiny), d, 1.0)
             below = ii[None, :] > gcol
             l = jnp.where(below & active[:, None], col / dn[:, None], 0.0)
             # rank-1 update of the remaining panel columns
@@ -402,10 +428,9 @@ def _blocked_partial_ldlt(F, ncols, cmax, B):
                                jnp.where(active, d, 1.0)[:, None], l)
             newcol = jnp.where(active[:, None], newcol, col)
             P = lax.dynamic_update_slice(P, newcol[:, :, None], (0, 0, j))
-            return P, dmin, npos, nneg, nzero
+            return P
 
-        P, dmin, npos, nneg, nzero = lax.fori_loop(
-            0, B, col_step, (P, dmin, npos, nneg, nzero))
+        P = lax.fori_loop(0, B, col_step, P)
 
         # batched SYRK trailing update: T = (L * d) L^T onto cols >= b+B
         gcols = b + jB
@@ -417,12 +442,9 @@ def _blocked_partial_ldlt(F, ncols, cmax, B):
         T = (Lb * dsafe[:, None, :]) @ jnp.swapaxes(Lb, -1, -2)
         F = F - jnp.where((ii >= b + B)[None, None, :], T, 0.0)
         F = lax.dynamic_update_slice(F, P, (0, 0, b))
-        return F, dmin, npos, nneg, nzero
+        return F
 
-    return lax.fori_loop(
-        0, nblocks, block_step,
-        (F, jnp.asarray(jnp.inf, dt), jnp.array(0, jnp.int32),
-         jnp.array(0, jnp.int32), jnp.array(0, jnp.int32)))
+    return lax.fori_loop(0, nblocks, block_step, F)
 
 
 def supernodal_inertia(fac: SupernodalFactors):

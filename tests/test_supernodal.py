@@ -213,3 +213,34 @@ class TestIndefiniteLDLT:
         b = rng.normal(size=n)
         x = supernodal_solve(sym, fac, jnp.asarray(b))
         assert np.linalg.norm(M @ np.asarray(x) - b) < 1e-9
+
+
+class TestPallasKernel:
+    """VMEM-resident partial-LDL^T kernel (interpret mode on CPU):
+    matches the XLA blocked path on eliminated columns and the
+    trailing Schur square (SURVEY §2.6 native checklist 1-2)."""
+
+    def test_matches_xla_path(self):
+        import jax
+        from galahad_tpu.linalg.pallas_kernels import partial_ldlt_pallas
+        from galahad_tpu.linalg.supernodal import _blocked_partial_ldlt
+
+        rng = np.random.default_rng(0)
+        nb, Fpad, cmax, B = 5, 24, 12, 8
+        F0 = np.zeros((nb, Fpad, Fpad))
+        ncols = rng.integers(1, cmax + 1, nb).astype(np.int32)
+        for k in range(nb):
+            nr = int(min(Fpad, ncols[k] + 4))
+            Bk = rng.normal(size=(nr, nr))
+            F0[k, :nr, :nr] = Bk @ Bk.T + 8 * np.eye(nr)
+        F0 = jnp.asarray(F0, jnp.float32)
+        ref = _blocked_partial_ldlt(F0, jnp.asarray(ncols), cmax, B)
+        out = partial_ldlt_pallas(F0, jnp.asarray(ncols), cmax,
+                                  interpret=True)
+        for k in range(nb):
+            nc = int(ncols[k])
+            r = np.asarray(ref[k])
+            o = np.asarray(out[k])
+            low = np.tril(np.ones((Fpad, Fpad), bool))[:, :nc]
+            assert np.abs((r[:, :nc] - o[:, :nc])[low]).max() < 1e-4
+            assert np.abs(r[nc:, nc:] - o[nc:, nc:]).max() < 1e-4
