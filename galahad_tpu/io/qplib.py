@@ -84,7 +84,8 @@ class QPLIBProblem:
         import jax.numpy as jnp
 
         if self.H_c:
-            raise NotImplementedError("quadratic constraints (QCQP) not supported yet")
+            raise ValueError(
+                "problem has quadratic constraints; use to_qcqp()")
 
         sgn = 1.0 if self.minimize else -1.0
         quad = self.ptype[0].upper() in ("Q", "D", "C")
@@ -105,6 +106,40 @@ class QPLIBProblem:
             h_kind="dense" if quad else "zero",
         )
 
+    def to_qcqp(self, dtype=np.float64):
+        """Convert to a solver-ready QCQP (quadratic constraints kept;
+        the RPD QCQP classes, reference src/rpd/rpd.f90:20-45).  The
+        constraint Hessians H_c (con, i, j, val lower-triangle triples)
+        assemble into the stacked symmetric (m, n, n) tensor."""
+        import jax.numpy as jnp
+
+        from ..qp.qcqp import QCQP
+
+        sgn = 1.0 if self.minimize else -1.0
+        quad = self.ptype[0].upper() in ("Q", "D", "C")
+        H = sgn * self.H if quad else None
+        Qc = np.zeros((self.m, self.n, self.n))
+        for con, i, j, v in self.H_c:
+            Qc[con, max(i, j), min(i, j)] += v
+            if i != j:
+                Qc[con, min(i, j), max(i, j)] += v
+        return QCQP(
+            H=jnp.asarray(H, dtype) if H is not None else None,
+            g=jnp.asarray(sgn * self.g, dtype),
+            f=sgn * float(self.f),
+            A=jnp.asarray(self.A, dtype),
+            Qc=jnp.asarray(Qc, dtype),
+            c_l=jnp.asarray(self._clip_inf(self.c_l), dtype),
+            c_u=jnp.asarray(self._clip_inf(self.c_u), dtype),
+            x_l=jnp.asarray(self._clip_inf(self.x_l), dtype),
+            x_u=jnp.asarray(self._clip_inf(self.x_u), dtype),
+            x=jnp.asarray(self.x0, dtype),
+            y=jnp.asarray(self.y0, dtype),
+            z=jnp.asarray(self.z0, dtype),
+            name=self.name,
+            h_kind="dense" if quad else "zero",
+        )
+
     def to_sparse_qp(self, dtype=np.float64):
         """Convert to a SparseQP (COO end-to-end, no densification) —
         the large-problem path: the IPM then factorizes the KKT system
@@ -113,7 +148,8 @@ class QPLIBProblem:
         from ..core.sparse import make_sparse_qp
 
         if self.H_c:
-            raise NotImplementedError("quadratic constraints (QCQP) not supported yet")
+            raise ValueError(
+                "problem has quadratic constraints; use to_qcqp()")
 
         sgn = 1.0 if self.minimize else -1.0
         quad = self.ptype[0].upper() in ("Q", "D", "C")
@@ -281,6 +317,11 @@ def read_qp(path: str, dtype=np.float64) -> QP:
 def read_sparse_qp(path: str, dtype=np.float64):
     """Read a QPLIB file straight into a SparseQP (never densifies)."""
     return load(path).to_sparse_qp(dtype)
+
+
+def read_qcqp(path: str, dtype=np.float64):
+    """Read a QPLIB file with quadratic constraints into a QCQP."""
+    return load(path).to_qcqp(dtype)
 
 
 # ---------------------------------------------------------------------------

@@ -1,22 +1,28 @@
-"""QP presolver (pragmatic subset).
+"""QP presolver.
 
 TPU-native re-design of GALAHAD's PRESOLVE (reference
 src/presolve/presolve.f90: PRESOLVE_apply :2836, analyze :4017 —
 a 22k-line engine of redundancy elimination, bound tightening, variable
 fixing and dual tests with exact solution restoration).
 
-The subset implemented here keeps every transform *shape-preserving*
-(masking, never deletion — SURVEY §7.3), which makes restoration exact
-and trivial and keeps one compiled program valid across presolve
-outcomes:
+Two cooperating layers:
 
-  * interval bound tightening from constraint activity ranges
-    (the reference's primal constraint analysis), iterated `sweeps` times;
-  * forcing-constraint detection -> variables fixed at bounds;
-  * free-row detection (activity range inside [c_l, c_u] -> row vacuous);
-  * infeasibility detection (empty primal interval).
+1. ``presolve_apply`` — *shape-preserving* transforms (masking, never
+   deletion — SURVEY §7.3): interval bound tightening from constraint
+   activity ranges, forcing-constraint detection, free-row relaxation,
+   infeasibility detection.  One compiled program stays valid across
+   presolve outcomes; restoration is the identity.
 
-Returns the transformed QP (same shapes) plus a report.
+2. ``presolve_reduce`` / ``presolve_restore`` — *reducing* transforms
+   (the reference's main win, presolve.f90:393): run on the host, they
+   ELIMINATE fixed variables, monotone (dual-test) columns, vacuous and
+   singleton rows, returning a genuinely smaller QP plus a transform
+   record that restores (x, y, z) of the ORIGINAL problem exactly —
+   including multiplier attribution for bounds that moved between rows
+   and variables (PRESOLVE's restoration contract, presolve.f90:2836).
+   The reduced problem has new static shapes, so the solver retraces
+   once per reduced structure — a host-side preprocessing cost, exactly
+   like the reference's.
 """
 from __future__ import annotations
 
@@ -157,3 +163,270 @@ def presolve_apply(qp: QP, ctl: PresolveControl = PresolveControl()
         qp=qp_out, infeasible=infeasible,
         n_tightened=n_tight, n_forced_rows=n_forced.astype(jnp.int32),
     )
+
+
+# ---------------------------------------------------------------------------
+# Reducing presolve (host-side elimination with exact restoration)
+# ---------------------------------------------------------------------------
+
+import numpy as np  # noqa: E402
+
+
+@dataclasses.dataclass
+class PresolveTransform:
+    """Record of the eliminations; restores solutions exactly
+    (PRESOLVE_restore contract, reference src/presolve/presolve.f90)."""
+
+    n: int                     # original sizes
+    m: int
+    keep_x: np.ndarray         # indices of kept variables
+    keep_c: np.ndarray         # indices of kept rows
+    x_fixed_val: np.ndarray    # (n,) values for eliminated variables (0 if kept)
+    x_fixed: np.ndarray        # (n,) bool: variable eliminated
+    # singleton-row bound transfers: for each (side: 0=lower, 1=upper) and
+    # each variable, the row that now carries the binding bound (-1: none)
+    # and its coefficient.
+    transfer_row: np.ndarray   # (2, n) int
+    transfer_coef: np.ndarray  # (2, n) float
+    # original variable bounds (to decide dual attribution on restore)
+    x_l0: np.ndarray
+    x_u0: np.ndarray
+    infinity: float
+    H: Any = None              # original problem data for dual recovery
+    g: Any = None
+    A: Any = None
+    h_kind: str = "dense"
+    n_fixed: int = 0
+    n_rows_dropped: int = 0
+    n_dual_fixed: int = 0
+    infeasible: bool = False
+    unbounded: bool = False
+
+
+def _np_qp(qp: QP):
+    # np.asarray of a jax array is a read-only view: copy for in-place math
+    H = np.array(qp.H_dense(), np.float64)
+    g = np.array(qp.g, np.float64)
+    A = np.array(qp.A, np.float64) if qp.m else np.zeros((0, qp.n))
+    return H, g, A
+
+
+def presolve_reduce(qp: QP, ctl: PresolveControl = PresolveControl()):
+    """Eliminate what can be eliminated; return (reduced QP, transform).
+
+    Transforms (each with exact restoration):
+      * fixed variables x_l == x_u substituted out
+        (g += H[:, j] v, c bounds -= A[:, j] v, f += ...);
+      * dual test on empty columns: A[:, j] == 0, H[:, j] == 0 off-diag
+        -> x_j solves a separable 1-D problem; fixed at its bound /
+        analytic minimum (presolve.f90 dual fixing);
+      * singleton rows -> variable bounds (the row is dropped; on
+        restore the bound dual is attributed back to the row when the
+        ORIGINAL variable bound was looser);
+      * vacuous rows (activity range inside [c_l, c_u]) and empty rows
+        dropped with y = 0.
+    """
+    inf = ctl.infinity
+    n, m = qp.n, qp.m
+    H, g, A = _np_qp(qp)
+    f = float(qp.f)
+    x_l = np.asarray(qp.x_l, np.float64).copy()
+    x_u = np.asarray(qp.x_u, np.float64).copy()
+    c_l = np.asarray(qp.c_l, np.float64).copy() if m else np.zeros(0)
+    c_u = np.asarray(qp.c_u, np.float64).copy() if m else np.zeros(0)
+
+    tr = PresolveTransform(
+        n=n, m=m, keep_x=np.arange(n), keep_c=np.arange(m),
+        x_fixed_val=np.zeros(n), x_fixed=np.zeros(n, bool),
+        transfer_row=np.full((2, n), -1, np.int64),
+        transfer_coef=np.zeros((2, n)),
+        x_l0=x_l.copy(), x_u0=x_u.copy(), infinity=inf,
+        H=H.copy(), g=g.copy(), A=A.copy(), h_kind=qp.h_kind,
+    )
+
+    feas = ctl.feas_tol
+    drop_row = np.zeros(m, bool)
+    for _ in range(max(ctl.sweeps, 1)):
+        changed = False
+
+        # ---- fixed variables -------------------------------------------
+        newly = (~tr.x_fixed) & (x_u - x_l <= feas) & (x_l > -inf) & (x_u < inf)
+        if newly.any():
+            v = 0.5 * (x_l + x_u)
+            for j in np.flatnonzero(newly):
+                vj = v[j]
+                f += g[j] * vj + 0.5 * H[j, j] * vj * vj
+                g += H[:, j] * vj
+                g[j] -= H[j, j] * vj        # no self-contribution
+                if m:
+                    act = A[:, j] * vj
+                    c_l -= np.where(np.abs(c_l) < inf, act, 0.0)
+                    c_u -= np.where(np.abs(c_u) < inf, act, 0.0)
+                    A[:, j] = 0.0
+                H[:, j] = 0.0
+                H[j, :] = 0.0
+                tr.x_fixed[j] = True
+                tr.x_fixed_val[j] = vj
+                g[j] = 0.0
+                x_l[j] = x_u[j] = 0.0
+            changed = True
+
+        # ---- dual test: empty columns ----------------------------------
+        active = ~tr.x_fixed
+        col_empty = active & (np.abs(A).sum(axis=0) == 0.0 if m else True)
+        offdiag = np.abs(H).sum(axis=0) - np.abs(np.diag(H))
+        sep = col_empty & (offdiag == 0.0)
+        for j in np.flatnonzero(sep):
+            hj, gj = H[j, j], g[j]
+            lo = x_l[j] if x_l[j] > -inf else -np.inf
+            hi = x_u[j] if x_u[j] < inf else np.inf
+            if hj > 0:
+                vj = np.clip(-gj / hj, lo, hi)
+            elif gj > 0:
+                vj = lo
+            elif gj < 0:
+                vj = hi
+            elif hj == 0:
+                vj = np.clip(0.0, lo, hi)
+            else:  # hj < 0: pick the better end
+                ends = [e for e in (lo, hi) if np.isfinite(e)]
+                if not ends:
+                    tr.unbounded = True
+                    break
+                vj = min(ends, key=lambda e: 0.5 * hj * e * e + gj * e)
+            if not np.isfinite(vj):
+                tr.unbounded = True
+                break
+            f += gj * vj + 0.5 * hj * vj * vj
+            tr.x_fixed[j] = True
+            tr.x_fixed_val[j] = vj
+            tr.n_dual_fixed += 1
+            H[j, j] = 0.0
+            g[j] = 0.0
+            x_l[j] = x_u[j] = 0.0
+            changed = True
+        if tr.unbounded:
+            break
+
+        if m:
+            # ---- singleton rows -> variable bounds ---------------------
+            nz = np.abs(A) > 0
+            rownnz = nz.sum(axis=1)
+            for i in np.flatnonzero((~drop_row) & (rownnz == 1)):
+                j = int(np.flatnonzero(nz[i])[0])
+                a = A[i, j]
+                lo_i = c_l[i] if c_l[i] > -inf else -np.inf
+                hi_i = c_u[i] if c_u[i] < inf else np.inf
+                new_lo = lo_i / a if a > 0 else hi_i / a
+                new_hi = hi_i / a if a > 0 else lo_i / a
+                if new_lo > x_l[j] + feas or x_l[j] <= -inf:
+                    if np.isfinite(new_lo) and new_lo > x_l[j]:
+                        x_l[j] = new_lo
+                        tr.transfer_row[0, j] = i
+                        tr.transfer_coef[0, j] = a
+                if new_hi < x_u[j] - feas or x_u[j] >= inf:
+                    if np.isfinite(new_hi) and new_hi < x_u[j]:
+                        x_u[j] = new_hi
+                        tr.transfer_row[1, j] = i
+                        tr.transfer_coef[1, j] = a
+                drop_row[i] = True
+                changed = True
+
+            # ---- vacuous / empty rows ----------------------------------
+            Ap, An = np.maximum(A, 0), np.minimum(A, 0)
+            lo_b = np.where(x_l > -inf, x_l, -1e30)
+            hi_b = np.where(x_u < inf, x_u, 1e30)
+            act_lo = Ap @ lo_b + An @ hi_b
+            act_hi = Ap @ hi_b + An @ lo_b
+            ok_lo = (c_l <= -inf) | (act_lo >= c_l - feas)
+            ok_hi = (c_u >= inf) | (act_hi <= c_u + feas)
+            vac = (~drop_row) & ok_lo & ok_hi & np.isfinite(act_lo) & np.isfinite(act_hi)
+            empty = (~drop_row) & (np.abs(A).sum(axis=1) == 0.0)
+            bad = empty & (((c_l > feas) & (c_l > -inf)) | ((c_u < -feas) & (c_u < inf)))
+            if bad.any():
+                tr.infeasible = True
+                break
+            if (vac | empty).any():
+                drop_row |= vac | empty
+                changed = True
+
+        if np.any((x_l > x_u + feas) & (x_l > -inf) & (x_u < inf)):
+            tr.infeasible = True
+            break
+        if not changed:
+            break
+
+    tr.keep_x = np.flatnonzero(~tr.x_fixed)
+    tr.keep_c = np.flatnonzero(~drop_row)
+    tr.n_fixed = int(tr.x_fixed.sum())
+    tr.n_rows_dropped = int(drop_row.sum())
+
+    kx, kc = tr.keep_x, tr.keep_c
+    dt = qp.g.dtype
+    if len(kx) == 0:
+        # everything eliminated: the reduced problem is empty; synthesize
+        # a 1-variable trivial QP so downstream shapes stay valid
+        red = QP(H=jnp.zeros((1, 1), dt), g=jnp.zeros(1, dt), f=f,
+                 A=jnp.zeros((0, 1), dt),
+                 c_l=jnp.zeros(0, dt), c_u=jnp.zeros(0, dt),
+                 x_l=jnp.zeros(1, dt), x_u=jnp.zeros(1, dt),
+                 name=qp.name, h_kind="dense")
+        tr.empty = True
+        return red, tr
+    tr.empty = False
+    red = QP(
+        H=jnp.asarray(H[np.ix_(kx, kx)], dt),
+        g=jnp.asarray(g[kx], dt), f=f,
+        A=jnp.asarray(A[np.ix_(kc, kx)], dt),
+        c_l=jnp.asarray(c_l[kc], dt), c_u=jnp.asarray(c_u[kc], dt),
+        x_l=jnp.asarray(x_l[kx], dt), x_u=jnp.asarray(x_u[kx], dt),
+        x=jnp.asarray(np.asarray(qp.x)[kx], dt) if qp.x is not None else None,
+        y=jnp.asarray(np.asarray(qp.y)[kc], dt) if qp.y is not None else None,
+        z=jnp.asarray(np.asarray(qp.z)[kx], dt) if qp.z is not None else None,
+        name=qp.name, h_kind="dense",
+    )
+    return red, tr
+
+
+def presolve_restore(tr: PresolveTransform, x_r, y_r, z_r):
+    """Map a reduced-problem solution back to the original problem,
+    with exact dual recovery:
+
+      * eliminated variables: z_j = (H x + g - A' y)_j (stationarity);
+      * dropped rows: y_i = 0, except singleton rows whose transferred
+        variable bound is ACTIVE and strictly tighter than the original
+        bound — there the bound dual moves back to the row:
+        y_i = z_j / a_ij, z_j = 0 (both KKT systems are equivalent;
+        the reference's restoration makes the same attribution).
+    """
+    x = np.zeros(tr.n)
+    x[tr.keep_x] = np.asarray(x_r, np.float64)[: len(tr.keep_x)] \
+        if not getattr(tr, "empty", False) else 0.0
+    x[tr.x_fixed] = tr.x_fixed_val[tr.x_fixed]
+    y = np.zeros(tr.m)
+    if len(tr.keep_c):
+        y[tr.keep_c] = np.asarray(y_r, np.float64)
+    z = np.zeros(tr.n)
+    if len(tr.keep_x):
+        z[tr.keep_x] = np.asarray(z_r, np.float64)
+
+    # dual attribution for transferred singleton-row bounds: transfers
+    # are recorded only when STRICTLY tighter than the original bound,
+    # so a dual resting on the transferred side must move back to the
+    # row for original-problem complementarity to hold
+    for side in (0, 1):
+        for j in np.flatnonzero(tr.transfer_row[side] >= 0):
+            i = int(tr.transfer_row[side, j])
+            a = tr.transfer_coef[side, j]
+            zj = z[j]
+            active = zj > 0 if side == 0 else zj < 0
+            if active:
+                y[i] += zj / a
+                z[j] = 0.0
+
+    # stationarity dual for eliminated variables
+    r = tr.H @ x + tr.g
+    if tr.m:
+        r -= tr.A.T @ y
+    z[tr.x_fixed] = r[tr.x_fixed]
+    return x, y, z

@@ -38,7 +38,11 @@ class QPControl:
 
     quadratic_programming_solver: str = "cqp"   # cqp | dqp | ccqp
     scale: int = 0                              # 0 off; >0 -> sinkhorn
-    presolve_problem: bool = False
+    presolve_problem: bool = False              # mask presolve (shape-kept)
+    presolve_reduce: bool = False               # eliminating presolve with
+                                                # exact (x, y, z) restore
+    crossover: bool = False                     # CRO after the IPM solve
+                                                # (reference cqp.f90:2785-2813)
     infinity: float = INFINITY
     ipm: IPMControl = IPMControl()
     dqp: DQPControl = DQPControl()
@@ -50,10 +54,15 @@ def qp_solve(qp: QP, ctl: QPControl = QPControl()):
     in the ORIGINAL problem's variables."""
     work = qp
     scaling = None
+    reduction = None
     if ctl.scale:
         scaling = scale_get(work, ScaleControl(method="sinkhorn"))
         work = scale_apply(work, scaling, ctl.infinity)
-    if ctl.presolve_problem:
+    if ctl.presolve_reduce:
+        from ..pre.presolve import presolve_reduce, presolve_restore
+        work, reduction = presolve_reduce(
+            work, PresolveControl(infinity=ctl.infinity))
+    elif ctl.presolve_problem:
         pinfo = presolve_apply(work, PresolveControl(infinity=ctl.infinity))
         work = pinfo.qp
 
@@ -88,6 +97,15 @@ def qp_solve(qp: QP, ctl: QPControl = QPControl()):
     else:
         raise ValueError(f"unknown QP solver {name!r}")
 
+    if ctl.crossover:
+        from .cro import cro_crossover
+        cx = cro_crossover(work, x, y, z)
+        x, y, z = cx.x, cx.y, cx.z
+    if reduction is not None:
+        from ..pre.presolve import presolve_restore
+        xr, yr, zr = presolve_restore(reduction, x, y, z)
+        dt = qp.g.dtype
+        x, y, z = jnp.asarray(xr, dt), jnp.asarray(yr, dt), jnp.asarray(zr, dt)
     if scaling is not None:
         x, y, z = scale_recover(scaling, x, y, z)
     return x, y, z, info

@@ -71,6 +71,12 @@ class IPMControl:
                                 # (WCP's gamma_c0 control)
     infeas_max: int = 10        # consecutive non-improving iterations before
                                 # declaring infeasibility (cqp.f90:163-168)
+    indicator_type: str = "pd_ratio"   # 'primal' | 'pd_ratio' | 'tapia'
+                                # (CQP_indicators, cqp.f90:9885 + controls
+                                # :189-213)
+    indicator_tol_p: float = 1.0e-5    # primal-distance activity cutoff
+    indicator_tol_pd: float = 1.0      # dual/primal magnitude ratio cutoff
+    indicator_tol_tapia: float = 0.9   # Tapia iterate-ratio cutoff
     reduce_infeas: float = 0.98  # required per-iteration infeasibility factor
     clock_time_limit: float = -1.0  # wall seconds; < 0 = no limit (cqp.f90:311-317)
     infinity: float = INFINITY
@@ -583,6 +589,68 @@ def _step_lengths(masks, s_l, s_u, t_l, t_u, st, d, tau, dt,
 
 
 # ---------------------------------------------------------------------------
+# Indicators (active-set prediction)
+# ---------------------------------------------------------------------------
+
+
+def ipm_indicators(qp: QP, masks: BoundMasks, st: IPMState, ctl: IPMControl,
+                   prev: IPMState | None = None):
+    """Predict the optimal active set from the (near-)converged IPM
+    iterate (CQP_indicators, reference src/cqp/cqp.f90:9885; controls
+    :189-213).  Returns (b_stat, c_stat) int32 arrays with the reference
+    convention: -1 active at lower, +1 active at upper, 0 inactive.
+
+    Three indicator types:
+      * 'primal':   distance-to-bound < indicator_tol_p;
+      * 'pd_ratio': dual magnitude exceeds indicator_tol_pd * distance
+        (the default; scale-free);
+      * 'tapia':    ratio of successive distances -> 0 on the active set
+        and -> 1 off it (needs ``prev``; falls back to pd_ratio when the
+        previous iterate is unavailable).
+    """
+    s_l, s_u, t_l, t_u = _distances(qp, masks, st.x, st.c)
+    kind = ctl.indicator_type
+    if kind == "tapia" and prev is None:
+        kind = "pd_ratio"
+
+    def decide(dist_l, dist_u, dual_l, dual_u, has_l, has_u,
+               pdist_l=None, pdist_u=None):
+        if kind == "primal":
+            lo = has_l & (dist_l < ctl.indicator_tol_p)
+            hi = has_u & (dist_u < ctl.indicator_tol_p)
+        elif kind == "tapia":
+            r_l = dist_l / jnp.maximum(pdist_l, 1e-30)
+            r_u = dist_u / jnp.maximum(pdist_u, 1e-30)
+            lo = has_l & (r_l < 1.0 - ctl.indicator_tol_tapia)
+            hi = has_u & (r_u < 1.0 - ctl.indicator_tol_tapia)
+        else:  # pd_ratio
+            lo = has_l & (dual_l > ctl.indicator_tol_pd * dist_l)
+            hi = has_u & (dual_u > ctl.indicator_tol_pd * dist_u)
+        # ties: the side with the smaller distance wins
+        both = lo & hi
+        lo = jnp.where(both, dist_l <= dist_u, lo)
+        hi = jnp.where(both, dist_u < dist_l, hi)
+        return jnp.where(lo, -1, jnp.where(hi, 1, 0)).astype(jnp.int32)
+
+    if prev is not None:
+        ps_l, ps_u, pt_l, pt_u = _distances(qp, masks, prev.x, prev.c)
+    else:
+        ps_l = ps_u = pt_l = pt_u = None
+    b_stat = decide(s_l, s_u, st.z_l, st.z_u,
+                    masks.has_xl & ~masks.x_fixed,
+                    masks.has_xu & ~masks.x_fixed, ps_l, ps_u)
+    b_stat = jnp.where(masks.x_fixed, -1, b_stat)
+    if qp.m > 0:
+        c_stat = decide(t_l, t_u, st.y_l, st.y_u,
+                        masks.has_cl & ~masks.c_equality,
+                        masks.has_cu & ~masks.c_equality, pt_l, pt_u)
+        c_stat = jnp.where(masks.c_equality, -1, c_stat)
+    else:
+        c_stat = jnp.zeros((0,), jnp.int32)
+    return b_stat, c_stat
+
+
+# ---------------------------------------------------------------------------
 # Drivers
 # ---------------------------------------------------------------------------
 
@@ -628,6 +696,8 @@ class IPMInform:
     time: PhaseTimes = dataclasses.field(default_factory=PhaseTimes)
     checkpoints_iter: Any = None   # (16,) first iter with res <= 10^-i
     checkpoints_time: Any = None   # (16,) first wall time with res <= 10^-i
+    b_stat: Any = None             # (n,) predicted bound activity (-1/0/+1)
+    c_stat: Any = None             # (m,) predicted constraint activity
 
 
 @partial(jax.jit, static_argnames=("ctl", "h_kind"))
@@ -656,8 +726,10 @@ def ipm_solve(qp: QP, ctl: IPMControl = IPMControl()):
     t_analyse = 0.0
     t_solve = 0.0
     timed_out = False
+    prev_st = None
     for k in range(ctl.maxit):
         t0 = _time.perf_counter()
+        prev_st = st
         st = _jitted_step(qp, masks, st, ctl, qp.h_kind)
         st.res_p.block_until_ready()
         dt_it = _time.perf_counter() - t0
@@ -679,6 +751,7 @@ def ipm_solve(qp: QP, ctl: IPMControl = IPMControl()):
             st, halt=jnp.array(True),
             status=jnp.array(int(Status.CPU_LIMIT), jnp.int32))
     x, y, z = extract_solution(qp, masks, st)
+    b_stat, c_stat = ipm_indicators(qp, masks, st, ctl, prev=prev_st)
     iters = int(st.iter)
     st.inform = IPMInform(
         status=int(st.status), iter=iters,
@@ -696,6 +769,8 @@ def ipm_solve(qp: QP, ctl: IPMControl = IPMControl()):
         ),
         checkpoints_iter=np_asarray_int(cp.iters),
         checkpoints_time=np_asarray_f(cp.times),
+        b_stat=np_asarray_int(b_stat),
+        c_stat=np_asarray_int(c_stat),
     )
     return x, y, z, st
 

@@ -1,0 +1,126 @@
+"""Reducing presolve (PRESOLVE elimination + exact restoration,
+reference src/presolve/presolve.f90:393, 2836) and the IPM indicator /
+crossover pipeline wiring (CQP_indicators cqp.f90:9885, crossover
+:2785-2813)."""
+import jax.numpy as jnp
+import numpy as np
+
+from galahad_tpu.core.problem import INFINITY, QP
+from galahad_tpu.core.residuals import kkt_residuals
+from galahad_tpu.pre.presolve import (
+    PresolveControl,
+    presolve_reduce,
+    presolve_restore,
+)
+from galahad_tpu.qp import IPMControl, ipm_solve
+from galahad_tpu.qp.frontend import QPControl, qp_solve
+
+INF = 2 * INFINITY
+
+
+def _messy_qp():
+    """5 variables, 5 rows with every eliminable feature:
+    x0 fixed; x4 empty column (dual-fixable); row0 singleton -> bound on
+    x1; row1 empty; row2 vacuous; rows 3-4 real constraints."""
+    n, m = 5, 5
+    H = np.diag([2.0, 1.0, 1.0, 2.0, 3.0])
+    g = np.array([1.0, -2.0, 0.5, -1.0, 2.0])
+    A = np.zeros((m, n))
+    A[0, 1] = 2.0                 # singleton row: 2 x1 >= 1  ->  x1 >= 0.5
+    # row 1 empty
+    A[2, 2] = 1.0                 # vacuous: -10 <= x2 <= 10 given bounds
+    A[3, 1] = 1.0; A[3, 2] = 1.0  # x1 + x2 = 1.2
+    A[4, 2] = 1.0; A[4, 3] = -1.0  # x2 - x3 <= 0.3
+    c_l = np.array([1.0, -INF, -10.0, 1.2, -INF])
+    c_u = np.array([INF, INF, 10.0, 1.2, 0.3])
+    x_l = np.array([0.7, -INF, -2.0, -2.0, -1.0])
+    x_u = np.array([0.7, INF, 2.0, 2.0, 1.0])
+    return QP(
+        H=jnp.asarray(H), g=jnp.asarray(g), A=jnp.asarray(A),
+        c_l=jnp.asarray(c_l), c_u=jnp.asarray(c_u),
+        x_l=jnp.asarray(x_l), x_u=jnp.asarray(x_u),
+    )
+
+
+def test_reduce_shrinks_and_restores_exactly():
+    qp = _messy_qp()
+    red, tr = presolve_reduce(qp)
+    assert not tr.infeasible and not tr.unbounded
+    assert tr.n_fixed >= 2            # x0 fixed + x4 dual-fixed
+    assert tr.n_rows_dropped >= 3     # singleton + empty + vacuous
+    assert red.n == qp.n - tr.n_fixed
+    assert red.m == qp.m - tr.n_rows_dropped
+
+    x_r, y_r, z_r, st = ipm_solve(red, IPMControl())
+    assert bool(st.converged)
+    x, y, z = presolve_restore(tr, x_r, y_r, z_r)
+
+    # restored triple satisfies the ORIGINAL problem's KKT to tolerance
+    rp, rd, rc = kkt_residuals(qp, jnp.asarray(x), jnp.asarray(y),
+                               jnp.asarray(z))
+    assert float(rp) <= 1e-8
+    assert float(rd) <= 1e-6
+    assert float(rc) <= 1e-6
+
+    # objective matches an unreduced direct solve
+    x_d, y_d, z_d, st_d = ipm_solve(qp, IPMControl())
+    np.testing.assert_allclose(float(qp.objective(jnp.asarray(x))),
+                               float(qp.objective(x_d)), atol=1e-7)
+
+
+def test_reduce_singleton_row_dual_attribution():
+    # min x0  s.t. 3 x0 >= 6 (singleton row, no variable bound):
+    # x* = 2, row multiplier y* = 1/3 must come back on the ROW
+    qp = QP(
+        H=jnp.zeros((1, 1)), g=jnp.ones(1),
+        A=jnp.asarray([[3.0]]),
+        c_l=jnp.asarray([6.0]), c_u=jnp.asarray([INF]),
+        x_l=jnp.asarray([-INF]), x_u=jnp.asarray([INF]),
+    )
+    red, tr = presolve_reduce(qp)
+    assert red.m == 0 and red.n == 1
+    x_r, y_r, z_r, st = ipm_solve(red, IPMControl())
+    x, y, z = presolve_restore(tr, x_r, y_r, z_r)
+    np.testing.assert_allclose(x, [2.0], atol=1e-6)
+    np.testing.assert_allclose(y, [1.0 / 3.0], atol=1e-6)
+    np.testing.assert_allclose(z, [0.0], atol=1e-9)
+
+
+def test_reduce_infeasible_detected():
+    qp = QP(
+        H=jnp.zeros((1, 1)), g=jnp.ones(1),
+        A=jnp.zeros((1, 1)),
+        c_l=jnp.asarray([1.0]), c_u=jnp.asarray([2.0]),   # 0 in [1,2]: no
+        x_l=jnp.asarray([-1.0]), x_u=jnp.asarray([1.0]),
+    )
+    _, tr = presolve_reduce(qp)
+    assert tr.infeasible
+
+
+def test_frontend_reduce_and_crossover():
+    qp = _messy_qp()
+    x, y, z, info = qp_solve(qp, QPControl(presolve_reduce=True,
+                                           crossover=True))
+    rp, rd, rc = kkt_residuals(qp, x, y, z)
+    assert float(rp) <= 1e-6
+    assert float(rd) <= 1e-5
+    x_d, _, _, _ = qp_solve(qp, QPControl())
+    np.testing.assert_allclose(float(qp.objective(x)),
+                               float(qp.objective(x_d)), atol=1e-6)
+
+
+def test_indicators_pd_ratio_and_tapia():
+    # min (x0-2)^2 + (x1-2)^2 s.t. x0 <= 1, x1 free-ish: x0 active upper
+    qp = QP(
+        H=2 * jnp.eye(2), g=jnp.asarray([-4.0, -4.0]),
+        A=jnp.asarray([[1.0, 0.0]]),
+        c_l=jnp.asarray([-INF]), c_u=jnp.asarray([1.0]),
+        x_l=jnp.asarray([-INF, -INF]), x_u=jnp.asarray([INF, 5.0]),
+    )
+    for kind in ("primal", "pd_ratio", "tapia"):
+        x, y, z, st = ipm_solve(qp, IPMControl(indicator_type=kind))
+        assert bool(st.converged)
+        c_stat = np.asarray(st.inform.c_stat)
+        b_stat = np.asarray(st.inform.b_stat)
+        assert c_stat[0] == 1          # constraint active at upper
+        assert b_stat[1] == 0          # x1's bound inactive (x1 = 2 < 5)
