@@ -7,7 +7,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from galahad_tpu.core.problem import QP
+from galahad_tpu.core.problem import INFINITY, QP
 from galahad_tpu.core.residuals import kkt_residuals
 from galahad_tpu.core.status import Status
 from galahad_tpu.qp import (
@@ -274,3 +274,52 @@ class TestFrontendDispatch:
         x, y, z, info = qp_solve(
             lp, QPControl(quadratic_programming_solver=solver))
         np.testing.assert_allclose(np.asarray(x), [0.0, 4.0], atol=1e-4)
+
+
+class TestDQPExactArc:
+    """Exact piecewise-linear arc search (reference dqp.f90:306)."""
+
+    def test_matches_trb_path_and_ipm(self):
+        from test_ipm import random_convex_qp
+        from galahad_tpu.qp.dqp import DQPControl, dqp_solve
+        from galahad_tpu.qp.ipm import ipm_solve
+
+        qp = random_convex_qp(12, 6, 77)
+        exact = dqp_solve(qp, ctl=DQPControl(exact_arc=True))
+        trb = dqp_solve(qp, ctl=DQPControl(exact_arc=False))
+        assert bool(exact.converged)
+        np.testing.assert_allclose(np.asarray(exact.x), np.asarray(trb.x),
+                                   atol=1e-6)
+        x, y, z, st = ipm_solve(qp)
+        np.testing.assert_allclose(float(exact.obj),
+                                   float(qp.objective(x)), atol=1e-6)
+
+    def test_exact_arc_first_iteration_progress(self):
+        # one arc search + subspace step should land on the optimal face
+        # for a problem whose dual has a single breakpoint structure
+        from galahad_tpu.qp.dqp import DQPControl, dqp_solve
+
+        n = 5
+        qp = QP(
+            H=jnp.arange(1.0, n + 1.0), h_kind="diagonal",
+            g=-jnp.ones(n),
+            A=jnp.ones((1, n)), c_l=jnp.array([-INFINITY]),
+            c_u=jnp.array([1.0]),
+            x_l=jnp.zeros(n), x_u=jnp.full(n, 10.0),
+        )
+        info = dqp_solve(qp, ctl=DQPControl(exact_arc=True))
+        assert bool(info.converged)
+        assert int(info.iter) <= 3
+        rp, rd, rc = kkt_residuals(qp, info.x, info.y, info.z)
+        assert float(rp) < 1e-8 and float(rd) < 1e-8
+
+    def test_warm_start_exact_arc(self):
+        from test_ipm import random_convex_qp
+        from galahad_tpu.qp.dqp import DQPControl, dqp_solve
+        from galahad_tpu.qp.ipm import ipm_solve
+
+        qp = random_convex_qp(10, 5, 321)
+        x, y, z, st = ipm_solve(qp)
+        warm = dqp_solve(qp, y0=y, z0=z, ctl=DQPControl(exact_arc=True))
+        assert bool(warm.converged)
+        assert int(warm.iter) <= 2

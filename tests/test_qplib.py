@@ -1,6 +1,7 @@
 """QPLIB reader/writer tests against the reference fixture files
 (reference examples/*.qplib; format at examples/QPBAND.qplib:1-15,
 reader contract src/rpd/rpd.f90:352, writer :1254)."""
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -42,8 +43,11 @@ class TestRead:
         assert p.ptype == "QGQ"
         assert len(p.H_c) == 1
         assert p.var_types.tolist() == [0, 0, 0, 1, 2]
-        with pytest.raises(NotImplementedError):
+        with pytest.raises(ValueError):
             p.to_qp()
+        q = p.to_qcqp()           # QCQP container keeps the Q-constraint
+        assert q.Qc.shape == (p.m, p.n, p.n)
+        assert float(jnp.abs(q.Qc).sum()) > 0
 
     def test_infinity_mapping(self):
         qp = qplib.read_qp(f"{EX}/QPBAND.qplib")
