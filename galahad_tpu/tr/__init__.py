@@ -9,3 +9,6 @@ from .lstr import (  # noqa: F401
 )
 from .llst import LLSTControl, LLSTInfo, llst_solve, lls_solve  # noqa: F401
 from .lqr import LQRControl, LQRInfo, lqr_solve, lqt_solve  # noqa: F401
+from .trs_sparse import (  # noqa: F401
+    TRSSparseControl, TRSSparseInfo, trs_solve_sparse, trs_contract,
+)
