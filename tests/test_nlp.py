@@ -179,6 +179,57 @@ class TestNLS:
         xstar, *_ = np.linalg.lstsq(A, b, rcond=None)
         np.testing.assert_allclose(np.asarray(st.x), xstar, atol=1e-6)
 
+    def test_model_menu(self):
+        """Every second-order-capable model of the reference menu
+        (nls.f90:115-123) drives Rosenbrock residuals to zero."""
+
+        def res(x):
+            return jnp.concatenate(
+                [10.0 * (x[1:] - x[:-1] ** 2), 1.0 - x[:-1]]
+            )
+
+        for model in ("gauss_newton", "newton", "gauss_to_newton",
+                      "tensor_gauss_newton", "tensor_newton",
+                      "tensor_gauss_to_newton"):
+            st = nls_solve(res, jnp.full(4, -1.2),
+                           NLSControl(model=model, maxit=200))
+            assert int(st.status) == int(Status.OK), model
+            np.testing.assert_allclose(
+                np.asarray(st.x), np.ones(4), atol=1e-4, err_msg=model)
+
+    def test_first_order_descends(self):
+        """Models 1-2 (no curvature) still make monotone progress."""
+
+        def res(x):
+            return jnp.concatenate(
+                [10.0 * (x[1:] - x[:-1] ** 2), 1.0 - x[:-1]]
+            )
+
+        x0 = jnp.full(3, -0.5)
+        f0 = 0.5 * float(jnp.sum(res(x0) ** 2))
+        for model in ("first_order", "diagonal"):
+            st = nls_solve(res, x0, NLSControl(model=model, maxit=50))
+            assert float(st.f) < f0, model
+
+    def test_regularization_norms_and_weight_updates(self):
+        """S-norm menu (nls.f90:125-137) and weight-update strategies
+        (:144-148) all converge on a small exponential fit."""
+        t = np.linspace(0, 1, 20)
+        y = 2.0 * np.exp(-1.5 * t)
+
+        def res(x):
+            return x[0] * jnp.exp(x[1] * jnp.asarray(t)) - jnp.asarray(y)
+
+        x0 = jnp.array([1.0, 0.0])
+        for norm in ("diagonal_jtj", "diagonal_hessian", "band"):
+            st = nls_solve(res, x0, NLSControl(norm=norm, maxit=200))
+            assert int(st.status) == int(Status.OK), norm
+            np.testing.assert_allclose(
+                np.asarray(st.x), [2.0, -1.5], atol=1e-4, err_msg=norm)
+        for wu in ("zero_reset", "imitate_tr", "increase"):
+            st = nls_solve(res, x0, NLSControl(weight_update=wu, maxit=200))
+            assert int(st.status) == int(Status.OK), wu
+
     def test_exponential_fit(self):
         """Classic data-fitting: y = a*exp(b*t) with noise-free data."""
         t = np.linspace(0, 1, 20)
