@@ -234,3 +234,211 @@ def sparse_kkt_factorize(plan: SparseKKTPlan, h_vals, a_vals, D_x, C_diag,
         -(jnp.asarray(C_diag, dt) + jnp.asarray(delta, dt)),
     ])
     return supernodal_factorize(plan.sym, vals)
+
+
+# ---------------------------------------------------------------------------
+# Preconditioner menu, null-space mode, projected PCG, Fredholm alternative
+# ---------------------------------------------------------------------------
+
+
+def sbls_preconditioner(H, kind: str = "full", *, semi_bandwidth: int = 5,
+                        min_diagonal: float = 1.0e-8, D=None):
+    """The G-block menu of SBLS_form_and_factorize (reference
+    src/sbls/sbls.f90:1918-1926): the KKT preconditioner factorizes
+    [[G, A'], [A, -C]] with G an approximation of H.
+
+    Returns (G, g_is_diag) ready for sbls_factorize:
+      "identity"  G = I              (sbls preconditioner = 1)
+      "full"      G = H              (= 2, exact)
+      "diag_h"    G = diag(H) floored (= 3)
+      "band_h"    G = band(H)        (= 4)
+      "user_d"    G = D (given diagonal) (optional-D menu entry)
+    """
+    H = jnp.asarray(H)
+    n = H.shape[-1]
+    dt = H.dtype
+    if kind == "identity":
+        return jnp.ones(n, dt), True
+    if kind == "full":
+        return H, False
+    if kind == "diag_h":
+        d = jnp.maximum(jnp.diagonal(H, axis1=-2, axis2=-1),
+                        jnp.asarray(min_diagonal, dt))
+        return d, True
+    if kind == "band_h":
+        i = jnp.arange(n)
+        band = jnp.abs(i[:, None] - i[None, :]) <= semi_bandwidth
+        return jnp.where(band, H, 0.0), False
+    if kind == "user_d":
+        return jnp.asarray(D, dt), True
+    raise ValueError(f"unknown SBLS preconditioner {kind!r}")
+
+
+class NullspaceFactors:
+    """Null-space factorization of K (reference SBLS null-space mode,
+    sbls.f90:6861): with A = [A1 A2], A1 nonsingular (basis columns
+    found by ULS, SBLS_find_A1_and_A2 :8082) and C = 0,
+
+        Z = [-A1^-1 A2; I]   spans null(A),
+        x = x_p + Z x_n,  A x_p = b2,   (Z' G Z) x_n = Z'(b1 - G x_p),
+        A1' y = (b1 - G x)_basic.
+
+    Static basis selection happens on the host once per structure; the
+    reduced (n-m, n-m) operator is dense MXU work.
+    """
+
+    __slots__ = ("basic", "nonbasic", "A1_lu", "Zmat", "L_red", "G", "A",
+                 "ok")
+
+    def __init__(self, basic, nonbasic, A1_lu, Zmat, L_red, G, A, ok):
+        self.basic = basic
+        self.nonbasic = nonbasic
+        self.A1_lu = A1_lu
+        self.Zmat = Zmat
+        self.L_red = L_red
+        self.G = G
+        self.A = A
+        self.ok = ok
+
+
+def sbls_factorize_nullspace(G, A, *, tol: float = 1.0e-10,
+                             max_tries: int = 12) -> NullspaceFactors:
+    """Null-space factorization of [[G, A'], [A, 0]] (C must be zero —
+    the equality-constrained case the reference restricts this mode to)."""
+    from .uls import uls_find_basis
+
+    G = jnp.asarray(G)
+    A = jnp.asarray(A)
+    m, n = A.shape
+    basic, nonbasic, rank = uls_find_basis(np.asarray(jax.device_get(A)),
+                                           tol=tol)
+    if rank < m:
+        raise ValueError(
+            f"A is rank deficient ({rank} < {m}); run FDC first")
+    A1 = A[:, basic]
+    A2 = A[:, nonbasic]
+    lu, piv = jax.scipy.linalg.lu_factor(A1)
+    Y = jax.scipy.linalg.lu_solve((lu, piv), A2)       # A1^-1 A2 (m, n-m)
+    Zmat = jnp.zeros((n, n - m), G.dtype)
+    Zmat = Zmat.at[jnp.asarray(basic), :].set(-Y)
+    Zmat = Zmat.at[jnp.asarray(nonbasic), :].set(
+        jnp.eye(n - m, dtype=G.dtype))
+    R = Zmat.T @ (G @ Zmat)                            # reduced Hessian
+    L_red, _, ok = chol_factor_shifted(R, 0.0, max_tries=max_tries)
+    return NullspaceFactors(basic, nonbasic, (lu, piv), Zmat, L_red, G, A,
+                            ok)
+
+
+def sbls_solve_nullspace(f: NullspaceFactors, b1, b2):
+    """Solve [[G, A'], [A, 0]] [x; y] = [b1; b2] via the null-space
+    factors."""
+    basic = jnp.asarray(f.basic)
+    # particular solution: x_p basic components solve A1 x_p = b2
+    xp = jnp.zeros(f.A.shape[1], b1.dtype)
+    xp = xp.at[basic].set(jax.scipy.linalg.lu_solve(f.A1_lu, b2))
+    rhs = f.Zmat.T @ (b1 - f.G @ xp)
+    xn = chol_solve(f.L_red, rhs)
+    x = xp + f.Zmat @ xn
+    res = (b1 - f.G @ x)[basic]
+    y = jax.scipy.linalg.lu_solve(f.A1_lu, res, trans=1)
+    return x, y
+
+
+def sbls_solve_iterative(f: SBLSFactors, apply_G, b1, b2, *,
+                         maxit: int = 100, stop_rel: float = 1.0e-10):
+    """Projected preconditioned CG on the G-system over null(A)
+    (reference SBLS_solve_iterative, sbls.f90:8762).
+
+    The factorized K (with its menu G) is the constraint preconditioner:
+    each projection step solves K [w; u] = [r; 0], which both
+    preconditions with the menu-G and projects onto null(A).  apply_G is
+    the action of the TRUE H.  Solves K_true [x; y] = [b1; b2] for C=0
+    up to the projected-CG tolerance; returns (x, y, iters).
+    """
+    At = jnp.swapaxes(f.A, -1, -2)
+    m = f.A.shape[-2]
+    # feasible start: x0 from one preconditioner solve, then CG on the
+    # deviation inside null(A)
+    x0, _ = _solve_once(f, jnp.zeros_like(b1), b2)
+
+    r0 = apply_G(x0) - b1
+    w0, _ = _solve_once(f, r0, jnp.zeros(m, b1.dtype))
+    p0 = -w0
+    rw0 = r0 @ w0
+
+    # rw = r'w is the projected-preconditioned residual energy; it
+    # decreases monotonically in exact arithmetic.  Stop RELATIVE to
+    # rw0 and bail out on stagnation/growth — the regularized
+    # projection re-injects range(A') noise near convergence, which
+    # would otherwise make the recurrence diverge after the minimum.
+    tol2 = stop_rel * stop_rel * jnp.abs(rw0) + jnp.finfo(b1.dtype).tiny
+
+    def cond(st):
+        x, r, w, p, rw, k, done = st
+        return (~done) & (k < maxit)
+
+    def body(st):
+        x, r, w, p, rw, k, _ = st
+        Gp = apply_G(p)
+        alpha = rw / jnp.maximum(p @ Gp, jnp.finfo(b1.dtype).tiny)
+        x_new = x + alpha * p
+        r_new = r + alpha * Gp
+        w_new, _ = _solve_once(f, r_new, jnp.zeros(m, b1.dtype))
+        rw_new = r_new @ w_new
+        diverged = rw_new >= rw          # stagnation / roundoff growth
+        x = jnp.where(diverged, x, x_new)
+        r = jnp.where(diverged, r, r_new)
+        beta = rw_new / jnp.maximum(rw, jnp.finfo(b1.dtype).tiny)
+        p = -w_new + beta * p
+        done = (rw_new <= tol2) | diverged
+        return x, r, w_new, p, jnp.minimum(rw_new, rw), k + 1, done
+
+    st = (x0, r0, w0, p0, rw0, jnp.asarray(0, jnp.int32),
+          jnp.abs(rw0) <= tol2)
+    x, r, w, p, rw, k, done = jax.lax.while_loop(cond, body, st)
+    # one restart with the exactly recomputed residual: clears the
+    # rounding the truncated recurrence accumulated (GNH-style
+    # re-projection refinement)
+    r1 = apply_G(x) - b1
+    w1, _ = _solve_once(f, r1, jnp.zeros(m, b1.dtype))
+    rw1 = r1 @ w1
+    st = (x, r1, w1, -w1, rw1, k, jnp.abs(rw1) <= tol2)
+    x, r, w, p, rw, k, done = jax.lax.while_loop(cond, body, st)
+    # multipliers from one last preconditioner solve against the residual
+    _, y = _solve_once(f, b1 - apply_G(x), jnp.zeros(m, b1.dtype))
+    return x, y, k
+
+
+def sbls_fredholm_alternative(G, A, C_diag, b1, b2, *, tol: float = 1e-9):
+    """Fredholm alternative for (possibly singular) K (reference
+    SBLS_fredholm_alternative, sbls.f90:9254): either returns
+    (True, (x, y)) with K [x; y] = b, or (False, (v1, v2)) with
+    K v = 0 and b' v != 0 — the certificate that no solution exists.
+
+    Dense spectral implementation (the singular K path is a small-n
+    diagnostic in the reference too)."""
+    G = jnp.asarray(G)
+    A = jnp.asarray(A)
+    n = G.shape[-1]
+    m = A.shape[-2]
+    K = jnp.zeros((n + m, n + m), G.dtype)
+    K = K.at[:n, :n].set(G)
+    K = K.at[n:, :n].set(A)
+    K = K.at[:n, n:].set(A.T)
+    K = K.at[jnp.arange(n, n + m), jnp.arange(n, n + m)].set(-C_diag)
+    b = jnp.concatenate([b1, b2])
+    lam, Q = jnp.linalg.eigh(K)
+    scale = jnp.max(jnp.abs(lam))
+    nz = jnp.abs(lam) > tol * scale
+    bt = Q.T @ b
+    # least-squares/minimum-norm solution on the range
+    u = jnp.where(nz, bt / jnp.where(nz, lam, 1.0), 0.0)
+    sol = Q @ u
+    # residual lies in the null space; nonzero => certificate
+    r = b - K @ sol
+    solvable = jnp.linalg.norm(r) <= tol * (1.0 + jnp.linalg.norm(b))
+    nr = jnp.linalg.norm(r)
+    v = r / jnp.where(nr > 0, nr, 1.0)
+    x = jnp.where(solvable, sol[:n], v[:n])
+    y = jnp.where(solvable, sol[n:], v[n:])
+    return solvable, (x, y)

@@ -350,3 +350,163 @@ class TestSCUIncremental:
         xref = np.linalg.solve(M, np.concatenate([b1, b2full]))
         np.testing.assert_allclose(np.asarray(x1), xref[:n], atol=1e-9)
         np.testing.assert_allclose(np.asarray(x2)[:2], xref[n:], atol=1e-9)
+
+
+class TestPSLSMenu:
+    """The full reference preconditioner menu (psls.f90:89-130)."""
+
+    def make(self, n, seed, definite=True):
+        r = np.random.default_rng(seed)
+        B = r.normal(size=(n, n))
+        H = B @ B.T + (n if definite else -3.0) * np.eye(n)
+        return jnp.asarray((H + H.T) / 2)
+
+    @pytest.mark.parametrize("kind", [
+        "reordered_band", "full_se", "full_gmps", "lin_more", "mi28",
+        "munksgaard"])
+    def test_apply_spd(self, kind):
+        H = self.make(12, 0)
+        apply = psls_build(H, PSLSControl(preconditioner=kind))
+        r = np.random.default_rng(1)
+        u = jnp.asarray(r.normal(size=12))
+        v = jnp.asarray(r.normal(size=12))
+        assert float(jnp.dot(v, apply(v))) > 0
+        np.testing.assert_allclose(float(jnp.dot(u, apply(v))),
+                                   float(jnp.dot(v, apply(u))), rtol=1e-6)
+
+    @pytest.mark.parametrize("kind", ["full_se", "full_gmps", "lin_more"])
+    def test_indefinite_modified(self, kind):
+        """Modified factorizations stay definite for indefinite H
+        (the SE/GMPS contract)."""
+        H = self.make(10, 3, definite=False)
+        assert float(np.linalg.eigvalsh(np.asarray(H)).min()) < 0
+        apply = psls_build(H, PSLSControl(preconditioner=kind))
+        r = np.random.default_rng(2)
+        for _ in range(3):
+            v = jnp.asarray(r.normal(size=10))
+            w = apply(v)
+            assert bool(jnp.all(jnp.isfinite(w)))
+            assert float(jnp.dot(v, w)) > 0
+
+    def test_ic_exact_when_pattern_full(self):
+        """IC on the full pattern == exact Cholesky solve."""
+        H = self.make(8, 5)
+        apply = psls_build(H, PSLSControl(preconditioner="mi28",
+                                          drop_tolerance=0.0))
+        v = jnp.asarray(np.random.default_rng(6).normal(size=8))
+        np.testing.assert_allclose(
+            np.asarray(apply(v)),
+            np.linalg.solve(np.asarray(H), np.asarray(v)), atol=1e-7)
+
+    def test_scu_removal(self):
+        """psls_remove solves with the kept submatrix exactly
+        (reference PSLS SCU update on row/col removal)."""
+        from galahad_tpu.linalg.psls import psls_remove
+
+        n = 15
+        H = self.make(n, 7)
+        apply = psls_build(H, PSLSControl(preconditioner="full"))
+        rem = jnp.array([2, 9, 13])
+        keep = np.setdiff1d(np.arange(n), np.asarray(rem))
+        sub = psls_remove(apply, n, rem)
+        v = jnp.asarray(np.random.default_rng(8).normal(size=n))
+        x = np.asarray(sub(v))
+        x_ref = np.linalg.solve(np.asarray(H)[np.ix_(keep, keep)],
+                                np.asarray(v)[keep])
+        np.testing.assert_allclose(x[keep], x_ref, atol=1e-8)
+        assert np.abs(x[np.asarray(rem)]).max() == 0.0
+
+
+class TestSBLSModes:
+    """Null-space mode, preconditioner menu, projected PCG, Fredholm
+    (reference sbls.f90:1918-1926, :6861, :8762, :9254)."""
+
+    def test_nullspace_mode(self):
+        from galahad_tpu.linalg.sbls import (sbls_factorize_nullspace,
+                                             sbls_solve_nullspace)
+
+        n, m = 11, 4
+        r = np.random.default_rng(0)
+        B = r.normal(size=(n, n))
+        G = B @ B.T + n * np.eye(n)
+        A = r.normal(size=(m, n))
+        K = np.block([[G, A.T], [A, np.zeros((m, m))]])
+        b = r.normal(size=n + m)
+        f = sbls_factorize_nullspace(jnp.asarray(G), jnp.asarray(A))
+        x, y = sbls_solve_nullspace(f, jnp.asarray(b[:n]),
+                                    jnp.asarray(b[n:]))
+        sol = np.linalg.solve(K, b)
+        np.testing.assert_allclose(np.asarray(x), sol[:n], atol=1e-8)
+        np.testing.assert_allclose(np.asarray(y), sol[n:], atol=1e-8)
+
+    def test_preconditioner_menu(self):
+        from galahad_tpu.linalg.sbls import sbls_preconditioner
+
+        r = np.random.default_rng(1)
+        B = r.normal(size=(7, 7))
+        H = jnp.asarray(B @ B.T + 7 * np.eye(7))
+        for kind in ("identity", "full", "diag_h", "band_h"):
+            G, is_diag = sbls_preconditioner(H, kind)
+            if is_diag:
+                assert G.shape == (7,)
+                assert bool(jnp.all(G > 0))
+            else:
+                assert G.shape == (7, 7)
+        D = jnp.arange(1.0, 8.0)
+        G, is_diag = sbls_preconditioner(H, "user_d", D=D)
+        assert is_diag and np.allclose(np.asarray(G), np.asarray(D))
+
+    def test_projected_pcg(self):
+        """Projected PCG with an approximate-G constraint preconditioner
+        solves the true-G KKT system (C=0)."""
+        from galahad_tpu.linalg.sbls import (sbls_factorize,
+                                             sbls_preconditioner,
+                                             sbls_solve_iterative)
+
+        n, m = 10, 3
+        r = np.random.default_rng(2)
+        B = r.normal(size=(n, n))
+        G = B @ B.T + n * np.eye(n)
+        A = r.normal(size=(m, n))
+        K = np.block([[G, A.T], [A, np.zeros((m, m))]])
+        b = r.normal(size=n + m)
+        Gp, is_diag = sbls_preconditioner(jnp.asarray(G), "diag_h")
+        f = sbls_factorize(Gp, jnp.asarray(A), jnp.zeros(m),
+                           g_is_diag=is_diag, delta=1e-12)
+        x, y, k = sbls_solve_iterative(
+            f, lambda v: jnp.asarray(G) @ v, jnp.asarray(b[:n]),
+            jnp.asarray(b[n:]), stop_rel=1e-12)
+        sol = np.linalg.solve(K, b)
+        np.testing.assert_allclose(np.asarray(x), sol[:n], atol=1e-6)
+        np.testing.assert_allclose(np.asarray(y), sol[n:], atol=1e-6)
+        assert int(k) <= n - m + 2  # projected CG dimension bound
+
+    def test_fredholm_alternative(self):
+        from galahad_tpu.linalg.sbls import sbls_fredholm_alternative
+
+        n, m = 6, 2
+        r = np.random.default_rng(3)
+        B = r.normal(size=(n, n))
+        G = B @ B.T + n * np.eye(n)
+        A = np.vstack([r.normal(size=n), np.zeros(n)])  # singular K: row 2 = 0
+        C = np.zeros(m)
+        # consistent rhs: b in range(K)
+        xy = r.normal(size=n + m)
+        K = np.block([[G, A.T], [A, np.zeros((m, m))]])
+        b_ok = K @ xy
+        solvable, (x, y) = sbls_fredholm_alternative(
+            jnp.asarray(G), jnp.asarray(A), jnp.asarray(C),
+            jnp.asarray(b_ok[:n]), jnp.asarray(b_ok[n:]))
+        assert bool(solvable)
+        np.testing.assert_allclose(np.asarray(K[:n] @ np.concatenate(
+            [np.asarray(x), np.asarray(y)])), b_ok[:n], atol=1e-7)
+        # inconsistent rhs: nonzero component on the zero row
+        b_bad = b_ok.copy()
+        b_bad[n + 1] = 1.0
+        solvable, (v1, v2) = sbls_fredholm_alternative(
+            jnp.asarray(G), jnp.asarray(A), jnp.asarray(C),
+            jnp.asarray(b_bad[:n]), jnp.asarray(b_bad[n:]))
+        assert not bool(solvable)
+        v = np.concatenate([np.asarray(v1), np.asarray(v2)])
+        np.testing.assert_allclose(K @ v, 0.0, atol=1e-7)   # K v = 0
+        assert abs(b_bad @ v) > 1e-8                        # b' v != 0
