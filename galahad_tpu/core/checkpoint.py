@@ -28,6 +28,9 @@ class Checkpoints(NamedTuple):
 
 
 def checkpoint_init(dtype=jnp.float64) -> Checkpoints:
+    from .problem import canonical_dtype
+
+    dtype = canonical_dtype(dtype)
     return Checkpoints(
         iters=jnp.full((NLEVELS,), -1, jnp.int32),
         times=jnp.full((NLEVELS,), jnp.inf, dtype),

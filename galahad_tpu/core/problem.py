@@ -30,6 +30,17 @@ import jax.numpy as jnp
 INFINITY = 1.0e19
 
 
+def canonical_dtype(dtype):
+    """Resolve a requested float dtype against the runtime x64 mode:
+    float64 becomes float32 when x64 is disabled (the TPU default)
+    instead of tripping per-array truncation warnings."""
+    import numpy as _np
+
+    if _np.dtype(dtype) == _np.float64 and not jax.config.jax_enable_x64:
+        return _np.float32
+    return dtype
+
+
 def _field(**kw):
     return dataclasses.field(**kw)
 

@@ -87,6 +87,9 @@ class QPLIBProblem:
             raise ValueError(
                 "problem has quadratic constraints; use to_qcqp()")
 
+        from ..core.problem import canonical_dtype
+
+        dtype = canonical_dtype(dtype)
         sgn = 1.0 if self.minimize else -1.0
         quad = self.ptype[0].upper() in ("Q", "D", "C")
         H = sgn * self.H if quad else None
@@ -113,8 +116,10 @@ class QPLIBProblem:
         assemble into the stacked symmetric (m, n, n) tensor."""
         import jax.numpy as jnp
 
+        from ..core.problem import canonical_dtype
         from ..qp.qcqp import QCQP
 
+        dtype = canonical_dtype(dtype)
         sgn = 1.0 if self.minimize else -1.0
         quad = self.ptype[0].upper() in ("Q", "D", "C")
         H = sgn * self.H if quad else None
@@ -145,8 +150,10 @@ class QPLIBProblem:
         the large-problem path: the IPM then factorizes the KKT system
         through the supernodal augmented-system mode (SURVEY §3.1
         flagship stack)."""
+        from ..core.problem import canonical_dtype
         from ..core.sparse import make_sparse_qp
 
+        dtype = canonical_dtype(dtype)
         if self.H_c:
             raise ValueError(
                 "problem has quadratic constraints; use to_qcqp()")

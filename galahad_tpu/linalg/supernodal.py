@@ -106,6 +106,7 @@ def supernodal_analyse(rows, cols, n, order: str = "amd",
 
     from ..native import (
         amd_order,
+        nd_order,
         rcm_order,
         supernode_partition,
         symbolic_factor,
@@ -121,6 +122,25 @@ def supernodal_analyse(rows, cols, n, order: str = "amd",
         perm = amd_order(A.indptr, A.indices)
     elif order == "rcm":
         perm = rcm_order(A.indptr, A.indices)
+    elif order == "nd":
+        perm = nd_order(A.indptr, A.indices)
+    elif order == "best":
+        # fill-minimizing pick: run the candidate orderings through the
+        # (cheap) symbolic count and keep the sparsest factor — the
+        # reference's ordering menu with an automatic choice
+        # (sls.f90 ordering control; SSIDS tries METIS then falls back)
+        from ..native import symbolic_count
+
+        best_perm, best_nnz = None, None
+        for cand in (amd_order(A.indptr, A.indices),
+                     nd_order(A.indptr, A.indices)):
+            c64 = cand.astype(np.int64)
+            Alc = sp.tril(A[c64][:, c64]).tocsc()
+            nnz = symbolic_count(Alc.indptr.astype(np.int64),
+                                 Alc.indices.astype(np.int32), n)
+            if best_nnz is None or nnz < best_nnz:
+                best_perm, best_nnz = cand, nnz
+        perm = best_perm
     else:
         perm = np.arange(n, dtype=np.int32)
     perm = perm.astype(np.int64)

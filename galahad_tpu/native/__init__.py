@@ -9,9 +9,11 @@ from .build import load_symbolic  # noqa: F401
 from .wrappers import (  # noqa: F401
     amd_order,
     etree,
+    nd_order,
     postorder,
     rcm_order,
     supernode_partition,
+    symbolic_count,
     symbolic_factor,
     tree_levels,
 )

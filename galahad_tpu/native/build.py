@@ -46,6 +46,8 @@ def load_symbolic() -> ctypes.CDLL:
         i32p = ctypes.POINTER(ctypes.c_int32)
         lib.rcm_order.argtypes = [ctypes.c_int32, i32p, i32p, i32p]
         lib.amd_order.argtypes = [ctypes.c_int32, i32p, i32p, i32p]
+        lib.nd_order.argtypes = [ctypes.c_int32, i32p, i32p,
+                                 ctypes.c_int32, i32p]
         lib.etree.argtypes = [ctypes.c_int32, i32p, i32p, i32p]
         lib.postorder_tree.argtypes = [ctypes.c_int32, i32p, i32p]
         lib.supernodes.argtypes = [ctypes.c_int32, i32p, i32p,

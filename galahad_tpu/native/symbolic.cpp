@@ -177,6 +177,154 @@ void amd_order(int32_t n, const int32_t* rowptr, const int32_t* colind,
   }
 }
 
+// --- nested dissection ------------------------------------------------
+// ND + minimum-degree-on-leaves hybrid (the METIS_NodeND role the
+// reference reaches through mc68/METIS in src/sls/sls.f90 and SSIDS
+// analyse).  Level-set vertex separators from a pseudo-peripheral BFS;
+// subgraphs below the leaf threshold are ordered by the AMD above.
+// perm[k] = original index of the k-th variable in the new order.
+
+static void nd_amd_leaf(const int32_t* rowptr, const int32_t* colind,
+                        const std::vector<int32_t>& verts,
+                        std::vector<int32_t>& local,  // size n scratch, -1
+                        int32_t* out) {
+  const int32_t ns = (int32_t)verts.size();
+  for (int32_t k = 0; k < ns; ++k) local[verts[k]] = k;
+  // subgraph CSR
+  std::vector<int32_t> sp(ns + 1, 0), sc;
+  for (int32_t k = 0; k < ns; ++k) {
+    int32_t u = verts[k];
+    for (int32_t p = rowptr[u]; p < rowptr[u + 1]; ++p)
+      if (local[colind[p]] >= 0) ++sp[k + 1];
+  }
+  for (int32_t k = 0; k < ns; ++k) sp[k + 1] += sp[k];
+  sc.resize(sp[ns]);
+  {
+    std::vector<int32_t> w(sp.begin(), sp.end() - 1);
+    for (int32_t k = 0; k < ns; ++k) {
+      int32_t u = verts[k];
+      for (int32_t p = rowptr[u]; p < rowptr[u + 1]; ++p) {
+        int32_t lv = local[colind[p]];
+        if (lv >= 0) sc[w[k]++] = lv;
+      }
+    }
+  }
+  std::vector<int32_t> lperm(ns);
+  amd_order(ns, sp.data(), sc.data(), lperm.data());
+  for (int32_t k = 0; k < ns; ++k) out[k] = verts[lperm[k]];
+  for (int32_t v : verts) local[v] = -1;
+}
+
+void nd_order(int32_t n, const int32_t* rowptr, const int32_t* colind,
+              int32_t leaf_size, int32_t* perm) {
+  if (n == 0) return;
+  if (leaf_size < 8) leaf_size = 8;
+  std::vector<int32_t> local(n, -1);     // shared scratch for leaves
+  std::vector<int32_t> lvl(n, -1);       // BFS level per vertex
+  std::vector<int32_t> stamp(n, -1);     // job membership marker
+  int32_t jobid = 0;
+  std::vector<int32_t> bfs;              // BFS order scratch
+  bfs.reserve(n);
+
+  // explicit work stack: (vertex subset, output offset)
+  struct Job {
+    std::vector<int32_t> verts;
+    int32_t lo;
+  };
+  std::vector<Job> stack;
+  {
+    std::vector<int32_t> all(n);
+    for (int32_t i = 0; i < n; ++i) all[i] = i;
+    stack.push_back({std::move(all), 0});
+  }
+  while (!stack.empty()) {
+    Job job = std::move(stack.back());
+    stack.pop_back();
+    std::vector<int32_t>& S = job.verts;
+    const int32_t ns = (int32_t)S.size();
+    if (ns <= leaf_size) {
+      nd_amd_leaf(rowptr, colind, S, local, perm + job.lo);
+      continue;
+    }
+    // BFS from S[0]; then from the farthest vertex (pseudo-peripheral)
+    ++jobid;
+    for (int32_t v : S) {
+      stamp[v] = jobid;
+      lvl[v] = -1;
+    }
+    int32_t src = S[0];
+    for (int pass = 0; pass < 2; ++pass) {
+      bfs.clear();
+      bfs.push_back(src);
+      lvl[src] = 0;
+      for (size_t q = 0; q < bfs.size(); ++q) {
+        int32_t u = bfs[q];
+        for (int32_t p = rowptr[u]; p < rowptr[u + 1]; ++p) {
+          int32_t v = colind[p];
+          if (v >= 0 && v < n && stamp[v] == jobid && lvl[v] < 0) {
+            lvl[v] = lvl[u] + 1;
+            bfs.push_back(v);
+          }
+        }
+      }
+      if (pass == 0 && (int32_t)bfs.size() == ns) {
+        src = bfs.back();                 // farthest: restart from it
+        for (int32_t v : S) lvl[v] = -1;
+      } else {
+        break;
+      }
+    }
+    if ((int32_t)bfs.size() < ns) {
+      // disconnected: component goes one way, the rest the other
+      std::vector<int32_t> A(bfs), B;
+      B.reserve(ns - bfs.size());
+      for (int32_t v : S)
+        if (lvl[v] < 0) B.push_back(v);
+      stack.push_back({std::move(B), job.lo + (int32_t)A.size()});
+      stack.push_back({std::move(A), job.lo});
+      continue;
+    }
+    const int32_t nlev = lvl[bfs.back()] + 1;
+    if (nlev < 3) {                       // no useful level separator
+      nd_amd_leaf(rowptr, colind, S, local, perm + job.lo);
+      continue;
+    }
+    // split level: cumulative half
+    std::vector<int32_t> cnt(nlev, 0);
+    for (int32_t v : S) ++cnt[lvl[v]];
+    int32_t mid = 0, acc = 0;
+    while (mid < nlev - 2 && acc + cnt[mid] < ns / 2) acc += cnt[mid++];
+    if (mid == 0) mid = 1;
+    if (mid >= nlev - 1) mid = nlev - 2;
+    // separator: level-mid vertices adjacent to level mid+1
+    std::vector<int32_t> A, B, sep;
+    for (int32_t v : S) {
+      if (lvl[v] < mid) {
+        A.push_back(v);
+      } else if (lvl[v] > mid) {
+        B.push_back(v);
+      } else {
+        bool bnd = false;
+        for (int32_t p = rowptr[v]; p < rowptr[v + 1] && !bnd; ++p) {
+          int32_t u = colind[p];
+          bnd = (u >= 0 && u < n && stamp[u] == jobid &&
+                 lvl[u] == mid + 1);
+        }
+        (bnd ? sep : A).push_back(v);
+      }
+    }
+    if (A.empty() || B.empty()) {         // degenerate split
+      nd_amd_leaf(rowptr, colind, S, local, perm + job.lo);
+      continue;
+    }
+    // separator last (eliminated after both halves)
+    int32_t off = job.lo + (int32_t)A.size() + (int32_t)B.size();
+    for (size_t k = 0; k < sep.size(); ++k) perm[off + (int32_t)k] = sep[k];
+    stack.push_back({std::move(B), job.lo + (int32_t)A.size()});
+    stack.push_back({std::move(A), job.lo});
+  }
+}
+
 // --- symbolic factorization: etree + column counts + L pattern -------------
 // Row-walk algorithm: row i of L reaches exactly the columns on the
 // etree paths from each entry k (k < i) of row i up toward i.  One pass

@@ -38,6 +38,19 @@ def amd_order(rowptr, colind) -> np.ndarray:
     return perm
 
 
+def nd_order(rowptr, colind, leaf_size: int = 64) -> np.ndarray:
+    """Nested-dissection permutation (level-set vertex separators with
+    AMD-ordered leaves — the METIS_NodeND role, reference
+    src/sls/sls.f90 ordering menu / SSIDS analyse)."""
+    lib = load_symbolic()
+    rowptr = _i32(rowptr)
+    colind = _i32(colind)
+    n = len(rowptr) - 1
+    perm = np.zeros(n, np.int32)
+    lib.nd_order(n, _ptr(rowptr), _ptr(colind), int(leaf_size), _ptr(perm))
+    return perm
+
+
 def etree(rowptr, colind) -> np.ndarray:
     """Elimination tree parents of an (already permuted) pattern."""
     lib = load_symbolic()
@@ -87,6 +100,18 @@ def _i64(a):
 
 def _ptr64(a):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def symbolic_count(colptr, rowind, n) -> int:
+    """Strict-lower factor nonzero count only (cheap ordering-quality
+    probe; same row-walk as symbolic_factor without the pattern pass)."""
+    lib = load_symbolic()
+    colptr = _i64(colptr)
+    rowind = _i32(rowind)
+    parent = np.zeros(n, np.int32)
+    colcount = np.zeros(n, np.int32)
+    return int(lib.symbolic_count(n, _ptr64(colptr), _ptr(rowind),
+                                  _ptr(parent), _ptr(colcount)))
 
 
 def symbolic_factor(colptr, rowind, n):

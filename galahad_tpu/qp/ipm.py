@@ -60,9 +60,12 @@ class IPMControl:
     refine: int = 2             # iterative-refinement sweeps per solve
     tau: float = 0.995          # fraction-to-boundary factor
     series_order: int = 2       # 1 = pure Newton, 2 = Mehrotra PC, 3+ extra correctors
-    arc: str = "mehrotra"       # "mehrotra" | "taylor" (Zhang arc, Taylor
-                                # series order <= 4 with ROOTS step lengths,
-                                # reference cqp.f90:194-205, 8996)
+    arc: str = "mehrotra"       # "mehrotra" | "taylor" (Zhang arc) |
+                                # "puiseux" (Zhang-Puiseux, (1-a)^2 path) |
+                                # "zhao_sun" (ZS center-pulling arc) —
+                                # series order <= 4 with ROOTS step lengths
+                                # (reference cqp.f90:194-205, 345-349,
+                                # 4356-4365, 8996)
     mu_min_factor: float = 1.0e-12
     mu_target: float = 0.0      # > 0: stop the barrier AT this value and
                                 # converge to a mu-centered point (the WCP
@@ -314,7 +317,7 @@ def ipm_step(qp: QP, masks: BoundMasks, st: IPMState, ctl: IPMControl) -> IPMSta
         r_p = jnp.zeros((0,), dt)
     r_d = jnp.where(masks.x_fixed, 0.0, r_d)
 
-    def solve_direction(mu_target, corr, first=True):
+    def solve_direction(mu_target, corr, first=True, res_scale=1.0):
         """Newton direction for target complementarity mu_target with
         second-order correction terms ``corr`` (dicts of products).
 
@@ -322,18 +325,24 @@ def ipm_step(qp: QP, masks: BoundMasks, st: IPMState, ctl: IPMControl) -> IPMSta
         linear (primal/dual) residuals are already removed by the
         order-1 term, so those RHS blocks are zero and only the
         complementarity convolution drives the solve (one extra
-        backsolve on the same factors — reference cqp.f90:345-349)."""
-        base_l = mu_target - st.z_l * s_l if first else mu_target
-        base_u = mu_target - st.z_u * s_u if first else mu_target
+        backsolve on the same factors — reference cqp.f90:345-349).
+
+        ``res_scale`` scales both the linear residuals and the SZ part
+        of the complementarity base — the Puiseux arc's residual path
+        (1-alpha)^2 puts 2x the residual at order 1 and 1x again at
+        order 2 (reference cqp.f90:5058-5095)."""
+        rs = jnp.asarray(res_scale, dt)
+        base_l = mu_target - rs * st.z_l * s_l if first else mu_target
+        base_u = mu_target - rs * st.z_u * s_u if first else mu_target
         r_cl = jnp.where(ml_x, base_l - corr["xl"], 0.0)
         r_cu = jnp.where(mu_x, base_u - corr["xu"], 0.0)
-        rd_k = r_d if first else jnp.zeros_like(r_d)
+        rd_k = rs * r_d if first else jnp.zeros_like(r_d)
         b1 = -rd_k + _safe_div(r_cl, s_l, ml_x) - _safe_div(r_cu, s_u, mu_x)
         b1 = jnp.where(masks.x_fixed, 0.0, b1)
         if m > 0:
-            rp_k = r_p if first else jnp.zeros_like(r_p)
-            base_tl = mu_target - st.y_l * t_l if first else mu_target
-            base_tu = mu_target - st.y_u * t_u if first else mu_target
+            rp_k = rs * r_p if first else jnp.zeros_like(r_p)
+            base_tl = mu_target - rs * st.y_l * t_l if first else mu_target
+            base_tu = mu_target - rs * st.y_u * t_u if first else mu_target
             r_tl = jnp.where(ml_c, base_tl - corr["cl"], 0.0)
             r_tu = jnp.where(mu_c, base_tu - corr["cu"], 0.0)
             w = _safe_div(r_tl, t_l, ml_c) - _safe_div(r_tu, t_u, mu_c)
@@ -384,21 +393,32 @@ def ipm_step(qp: QP, masks: BoundMasks, st: IPMState, ctl: IPMControl) -> IPMSta
                 / jnp.maximum(mu_now, 1e-30))
             sigma = jnp.minimum(sigma, 2.0)
 
-    if ctl.arc == "taylor" and ctl.series_order >= 2:
-        # --- Zhang-arc Taylor series of order K <= 4 -------------------
-        # v(alpha) = v + sum_k alpha^k v^k following the path
-        #   residual(alpha) = (1 - alpha) residual,
-        #   S(alpha) Z(alpha) e = (1 - alpha) S Z e + alpha sigma mu e;
-        # order-k complementarity RHS is the convolution of lower-order
+    if ctl.arc in ("taylor", "puiseux", "zhao_sun") \
+            and ctl.series_order >= 2:
+        # --- series arcs of order K <= 4 -------------------------------
+        # v(alpha) = v + sum_k alpha^k v^k following the chosen path:
+        #   "taylor"   (Zhang arc, cqp.f90:194-205):
+        #       residual(alpha) = (1-alpha) residual,
+        #       comp(alpha) = (1-alpha) SZ + alpha sigma mu;
+        #   "puiseux"  (Zhang-Puiseux, cqp.f90:5058-5095 — the theta^2
+        #       path written in Taylor coefficients):
+        #       residual(alpha) = (1-alpha)^2 residual,
+        #       comp(alpha) = (1-alpha)^2 SZ + (1-(1-alpha)^2) sigma mu
+        #       => order-1 RHS doubled, residuals re-appear at order 2;
+        #   "zhao_sun" (ZS arc, cqp.f90:5088-5095 "arc 2"):
+        #       comp(alpha) = (1-alpha) SZ
+        #                     + sigma (1-alpha) alpha (mu e - SZ)
+        #       — bows toward the mu-center mid-arc, reaches the affine
+        #       target at alpha = 1.
+        # Order-k complementarity RHS is the convolution of lower-order
         # coefficient products, one extra backsolve per order on the
-        # SAME factors (reference cqp.f90:194-205, 4237-4247,
-        # 5862-5935); the step is the exact smallest positive root of
-        # the per-component neighborhood polynomials via ROOTS
-        # (CQP_compute_lmaxstep, cqp.f90:8996).
+        # SAME factors (cqp.f90:4237-4247, 5862-5935); the step is the
+        # exact smallest positive root of the per-component
+        # neighborhood polynomials via ROOTS (cqp.f90:8996).
         K = min(ctl.series_order, 4)
-        coefs = [solve_direction(sigma * mu_now, zero_corr)]
-        for k in range(2, K + 1):
-            z0 = jnp.zeros((), dt)
+        z0 = jnp.zeros((), dt)
+
+        def conv_at(coefs, k):
             conv = dict(xl=z0, xu=z0, cl=z0, cu=z0)
             for j in range(1, k):
                 a, b_ = coefs[j - 1], coefs[k - j - 1]
@@ -408,8 +428,38 @@ def ipm_step(qp: QP, masks: BoundMasks, st: IPMState, ctl: IPMControl) -> IPMSta
                     cl=conv["cl"] + a["dc"] * b_["dy_l"],
                     cu=conv["cu"] - a["dc"] * b_["dy_u"],
                 )
-            coefs.append(
-                solve_direction(jnp.asarray(0.0, dt), conv, first=False))
+            return conv
+
+        if ctl.arc == "puiseux":
+            coefs = [solve_direction(2.0 * sigma * mu_now, zero_corr,
+                                     res_scale=2.0)]
+            if K >= 2:
+                coefs.append(solve_direction(
+                    sigma * mu_now, conv_at(coefs, 2), first=True,
+                    res_scale=1.0))
+            for k in range(3, K + 1):
+                coefs.append(solve_direction(z0, conv_at(coefs, k),
+                                             first=False))
+        elif ctl.arc == "zhao_sun":
+            # center-pull term w = sigma (mu e - SZ), per family
+            w = dict(xl=sigma * (mu_now - st.z_l * s_l),
+                     xu=sigma * (mu_now - st.z_u * s_u),
+                     cl=sigma * (mu_now - st.y_l * t_l),
+                     cu=sigma * (mu_now - st.y_u * t_u))
+            corr1 = {k2: -w[k2] for k2 in w}
+            coefs = [solve_direction(z0, corr1)]
+            if K >= 2:
+                conv = conv_at(coefs, 2)
+                corr2 = {k2: w[k2] + conv[k2] for k2 in w}
+                coefs.append(solve_direction(z0, corr2, first=False))
+            for k in range(3, K + 1):
+                coefs.append(solve_direction(z0, conv_at(coefs, k),
+                                             first=False))
+        else:  # "taylor"
+            coefs = [solve_direction(sigma * mu_now, zero_corr)]
+            for k in range(2, K + 1):
+                coefs.append(solve_direction(z0, conv_at(coefs, k),
+                                             first=False))
         fams = [
             (s_l, [c["dx"] for c in coefs], ml_x),
             (s_u, [-c["dx"] for c in coefs], mu_x),

@@ -157,81 +157,70 @@ def qpa_solve(qp: QP, x0=None, c_stat0=None, b_stat0=None,
         xscale = 1.0 + float(jnp.max(jnp.abs(x), initial=0.0))
 
         if norm_dx <= 1e-8 * xscale:
-            # stationary on the working set: check multiplier signs
-            yh = np.asarray(y)
-            zh = np.asarray(z)
-            # wrong sign: lower-active needs multiplier >= 0 (for
-            # min problem with c >= c_l convention y_l >= 0)
-            worst = None
-            worst_val = -ctl.multiplier_tol
-            for i in range(m):
-                if act_c[i] and not eq[i]:
-                    v = yh[i] * (1 if sig_c[i] < 0 else -1)
-                    if v < worst_val:
-                        worst_val = v
-                        worst = ("c", i)
-            for j in range(n):
-                if act_b[j] and not fx[j]:
-                    v = zh[j] * (1 if sig_b[j] < 0 else -1)
-                    if v < worst_val:
-                        worst_val = v
-                        worst = ("b", j)
-            if worst is None:
+            # stationary on the working set: check multiplier signs.
+            # Wrong sign: lower-active needs multiplier >= 0 (for a min
+            # problem with c >= c_l convention, y_l >= 0).  The whole
+            # scan is one masked argmin on device — no per-index host
+            # loop (reference scans QPA_delete_constraint candidates
+            # serially, qpa.f90; a TPU prefers a single reduction).
+            BIG = jnp.asarray(jnp.inf, dt)
+            vc = y * jnp.where(jnp.asarray(sig_c) < 0, 1.0, -1.0)
+            vc = jnp.where(jnp.asarray(act_c & ~eq), vc, BIG)
+            vb = z * jnp.where(jnp.asarray(sig_b) < 0, 1.0, -1.0)
+            vb = jnp.where(jnp.asarray(act_b & ~fx), vb, BIG)
+            allv = jnp.concatenate([vc, vb]) if m else vb
+            k = int(jnp.argmin(allv))
+            worst_val = float(allv[k])
+            if worst_val >= -ctl.multiplier_tol:
                 status = int(Status.OK)
                 break
-            kind, idx = worst
-            if kind == "c":
-                act_c[idx] = False
-                sig_c[idx] = 0
+            if m and k < m:
+                act_c[k] = False
+                sig_c[k] = 0
             else:
-                act_b[idx] = False
-                sig_b[idx] = 0
+                j = k - m if m else k
+                act_b[j] = False
+                sig_b[j] = 0
             continue
 
-        # ratio test: largest alpha <= 1 keeping feasibility
-        xh = np.asarray(x)
-        dxh = np.asarray(dx)
-        alpha = 1.0
-        blocker = None
+        # ratio test: largest alpha <= 1 keeping feasibility.  Vectorized
+        # masked step-to-bound ratios + one argmin on device; only the
+        # winning (alpha, index, side) crosses to the host.
+        BIG = jnp.asarray(jnp.inf, dt)
+        tiny = 1e-14
         if m:
-            Ax = np.asarray(qp.Ax(x))
-            Adx = np.asarray(qp.Ax(dx))
-            cl = np.asarray(qp.c_l)
-            cu = np.asarray(qp.c_u)
-            for i in range(m):
-                if act_c[i]:
-                    continue
-                if Adx[i] < -1e-14 and cl[i] > -ctl.infinity:
-                    a = (cl[i] - Ax[i]) / Adx[i]
-                    if a < alpha:
-                        alpha, blocker = a, ("c", i, -1)
-                if Adx[i] > 1e-14 and cu[i] < ctl.infinity:
-                    a = (cu[i] - Ax[i]) / Adx[i]
-                    if a < alpha:
-                        alpha, blocker = a, ("c", i, 1)
-        xl = np.asarray(qp.x_l)
-        xu = np.asarray(qp.x_u)
-        for j in range(n):
-            if act_b[j]:
-                continue
-            if dxh[j] < -1e-14 and xl[j] > -ctl.infinity:
-                a = (xl[j] - xh[j]) / dxh[j]
-                if a < alpha:
-                    alpha, blocker = a, ("b", j, -1)
-            if dxh[j] > 1e-14 and xu[j] < ctl.infinity:
-                a = (xu[j] - xh[j]) / dxh[j]
-                if a < alpha:
-                    alpha, blocker = a, ("b", j, 1)
+            Ax = qp.Ax(x)
+            Adx = qp.Ax(dx)
+            inact_c = jnp.asarray(~act_c)
+            a_cl = jnp.where(inact_c & (Adx < -tiny) & masks.has_cl,
+                             (qp.c_l - Ax) / Adx, BIG)
+            a_cu = jnp.where(inact_c & (Adx > tiny) & masks.has_cu,
+                             (qp.c_u - Ax) / Adx, BIG)
+        else:
+            a_cl = a_cu = jnp.zeros((0,), dt) + BIG
+        inact_b = jnp.asarray(~act_b)
+        a_xl = jnp.where(inact_b & (dx < -tiny) & masks.has_xl,
+                         (qp.x_l - x) / dx, BIG)
+        a_xu = jnp.where(inact_b & (dx > tiny) & masks.has_xu,
+                         (qp.x_u - x) / dx, BIG)
+        ratios = jnp.concatenate([a_cl, a_cu, a_xl, a_xu])
+        k = int(jnp.argmin(ratios)) if ratios.size else 0
+        alpha = float(ratios[k]) if ratios.size else 1.0
 
-        x = x + jnp.asarray(max(alpha, 0.0), dt) * dx
-        if blocker is not None:
-            kind, idx, sig = blocker
-            if kind == "c":
-                act_c[idx] = True
-                sig_c[idx] = sig
+        x = x + jnp.asarray(min(max(alpha, 0.0), 1.0), dt) * dx
+        if alpha < 1.0:
+            if k < m:
+                act_c[k] = True
+                sig_c[k] = -1
+            elif k < 2 * m:
+                act_c[k - m] = True
+                sig_c[k - m] = 1
+            elif k < 2 * m + n:
+                act_b[k - 2 * m] = True
+                sig_b[k - 2 * m] = -1
             else:
-                act_b[idx] = True
-                sig_b[idx] = sig
+                act_b[k - 2 * m - n] = True
+                sig_b[k - 2 * m - n] = 1
 
     obj = 0.5 * x @ (H @ x) + qp.g @ x + qp.f
     c_stat = jnp.asarray(np.where(act_c, sig_c, 0), jnp.int32)

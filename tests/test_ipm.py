@@ -261,26 +261,33 @@ class TestGuardsAndInform:
 
 
 class TestTaylorArc:
-    """Zhang-arc Taylor series + ROOTS step lengths (VERDICT r1 item 6;
-    reference cqp.f90:194-205, 4237-4247, 8996, 6512-6545)."""
+    """Series arcs (Zhang-Taylor / Zhang-Puiseux / Zhao-Sun) + ROOTS step
+    lengths (VERDICT r1 item 6; reference cqp.f90:194-205, 345-349,
+    4237-4247, 5058-5095, 8996, 6512-6545)."""
 
-    @pytest.mark.parametrize("order", [2, 3, 4])
-    def test_fixtures_converge(self, order):
+    @pytest.mark.parametrize("arc,order", [
+        ("taylor", 2), ("taylor", 3), ("taylor", 4),
+        ("puiseux", 2), ("puiseux", 3), ("zhao_sun", 2), ("zhao_sun", 3),
+    ])
+    def test_fixtures_converge(self, arc, order):
         qp = qplib.read_qp("/root/reference/examples/QPBAND.qplib")
-        ctl = IPMControl(arc="taylor", series_order=order)
+        ctl = IPMControl(arc=arc, series_order=order)
         x, y, z, st = ipm_solve(qp, ctl)
         assert int(st.status) == 0
         assert_kkt(qp, x, y, z)
         assert abs(float(qp.objective(x)) + 3.143333) < 1e-4
 
-    def test_matches_mehrotra_solution(self):
+    @pytest.mark.parametrize("arc", ["taylor", "puiseux", "zhao_sun"])
+    def test_matches_mehrotra_solution(self, arc):
         qp = random_convex_qp(12, 5, seed=3)
         xm, *_ = ipm_solve(qp, IPMControl())
-        xt, _, _, st = ipm_solve(qp, IPMControl(arc="taylor",
-                                                series_order=4))
+        xt, _, _, st = ipm_solve(qp, IPMControl(arc=arc,
+                                                series_order=3))
         assert int(st.status) == 0
+        # both endpoints satisfy KKT to 1e-6, so they may differ by a few
+        # multiples of the stop tolerance
         np.testing.assert_allclose(np.asarray(xt), np.asarray(xm),
-                                   atol=1e-6)
+                                   atol=5e-6)
 
     def test_iteration_count_competitive(self):
         """Every-order arc selection must stay within a small factor of

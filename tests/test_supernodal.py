@@ -15,6 +15,7 @@ from galahad_tpu.linalg.supernodal import (
 from galahad_tpu.native import (
     amd_order,
     etree,
+    nd_order,
     postorder,
     rcm_order,
     supernode_partition,
@@ -51,7 +52,7 @@ def solve_case(A_csr, order="amd", relax=4):
 class TestNativeSymbolic:
     def test_permutations_valid(self):
         A = grid_laplacian(5)
-        for fn in (amd_order, rcm_order):
+        for fn in (amd_order, rcm_order, nd_order):
             p = fn(A.indptr, A.indices)
             assert sorted(p.tolist()) == list(range(25))
 
@@ -60,6 +61,31 @@ class TestNativeSymbolic:
         _, sym_amd, _ = solve_case(A, "amd", relax=0)
         _, sym_nat, _ = solve_case(A, "natural", relax=0)
         assert sym_amd.nnz_L < sym_nat.nnz_L
+
+    def test_nd_competitive_on_grid(self):
+        """Nested dissection is the asymptotically right ordering for
+        2-D grids (the METIS role, reference SSIDS analyse); on an
+        18x18 grid it must beat natural ordering and be within 1.5x
+        of AMD (it usually wins outright)."""
+        A = grid_laplacian(18)
+        _, sym_nd, _ = solve_case(A, "nd", relax=0)
+        _, sym_amd, _ = solve_case(A, "amd", relax=0)
+        _, sym_nat, _ = solve_case(A, "natural", relax=0)
+        assert sym_nd.nnz_L < sym_nat.nnz_L
+        assert sym_nd.nnz_L < 1.5 * sym_amd.nnz_L
+
+    def test_best_picks_min_fill(self):
+        A = grid_laplacian(10)
+        _, sym_best, _ = solve_case(A, "best", relax=0)
+        _, sym_amd, _ = solve_case(A, "amd", relax=0)
+        _, sym_nd, _ = solve_case(A, "nd", relax=0)
+        assert sym_best.nnz_L <= min(sym_amd.nnz_L, sym_nd.nnz_L)
+
+    def test_nd_disconnected_graph(self):
+        blocks = [grid_laplacian(4), grid_laplacian(5), grid_laplacian(3)]
+        A = sp.block_diag(blocks).tocsr()
+        p = nd_order(A.indptr, A.indices, leaf_size=8)
+        assert sorted(p.tolist()) == list(range(A.shape[0]))
 
     def test_etree_chain(self):
         n = 6
@@ -89,7 +115,7 @@ class TestNativeSymbolic:
 
 
 class TestSupernodalNumeric:
-    @pytest.mark.parametrize("order", ["amd", "rcm", "natural"])
+    @pytest.mark.parametrize("order", ["amd", "rcm", "natural", "nd"])
     def test_grid(self, order):
         r, sym, _ = solve_case(grid_laplacian(6), order)
         assert r < 1e-12
