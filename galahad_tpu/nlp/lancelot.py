@@ -46,6 +46,12 @@ class LancelotControl:
     stop_c: float = 1.0e-6            # final infeasibility tolerance
     stop_g: float = 1.0e-6            # final projected-gradient tolerance
     inner_maxit: int = 200
+    inner_model: str = "auto"         # "auto" | "newton" | "hvp":
+    # "newton" materializes the dense AL Hessian (small n); "hvp" is the
+    # matrix-free large-n path (curvature via jvp-of-grad + masked GLTR
+    # — the role of the reference's group-partial-separable Hessian
+    # assembly, lancelot.f90/SURVEY §3.3); "auto" switches on n.
+    hvp_threshold: int = 256          # auto: use "hvp" when n exceeds this
     infinity: float = INFINITY
 
 
@@ -108,9 +114,12 @@ def lancelot_solve(objective: Callable, constraints: Callable, x0,
             return objective(xv) + (jnp.sum((w - s) ** 2)
                                     - mu**2 * jnp.sum(y**2)) / (2.0 * mu)
 
+        inner_model = ctl.inner_model
+        if inner_model == "auto":
+            inner_model = "hvp" if n > ctl.hvp_threshold else "newton"
         st = trb_solve(
             phi, x, x_l, x_u,
-            TRBControl(maxit=ctl.inner_maxit,
+            TRBControl(maxit=ctl.inner_maxit, model=inner_model,
                        stop_g_absolute=float(omega_k), stop_g_relative=0.0),
         )
         x = st.x

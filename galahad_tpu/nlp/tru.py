@@ -249,10 +249,13 @@ def trb_solve(objective: Callable, x0, x_l, x_u,
         norm_g=ng0,
     )
 
-    def model(st, H, s):
-        return jnp.dot(st.g, s) + 0.5 * jnp.dot(s, H @ s)
+    # "hvp": never materialize the Hessian — all curvature through
+    # jvp-of-grad products and a masked GLTR free-subspace solve.  The
+    # large-n configuration (LANCELOT's group-partial-separability role
+    # is played by AD + XLA fusion; SURVEY §3.3).
+    matrix_free = ctl.model == "hvp"
 
-    def cauchy_point(st, H):
+    def cauchy_point(st, Hop, model_q):
         """Backtracking projected search: t = t0 * beta^k, k = 0..K-1;
         pick the largest model decrease among feasible arc points within
         the radius (monotone Armijo-free variant of trb.f90's
@@ -264,7 +267,7 @@ def trb_solve(objective: Callable, x0, x_l, x_u,
             s = _project(st.x - t * st.g, x_l, x_u) - st.x
             nrm = jnp.linalg.norm(s)
             ok = nrm <= st.radius
-            m = model(st, H, s)
+            m = model_q(s)
             return jnp.where(ok, m, jnp.inf), s
 
         ms, ss = jax.vmap(eval_t)(t0 * betas)
@@ -272,28 +275,47 @@ def trb_solve(objective: Callable, x0, x_l, x_u,
         return ss[k], jnp.minimum(ms[k], 0.0)
 
     def body(st):
-        H = jax.hessian(objective)(st.x)
-        s_c, m_c = cauchy_point(st, H)
+        if matrix_free:
+            Hop = _hvp(objective, st.x)
+            H = None
+        else:
+            H = jax.hessian(objective)(st.x)
+            Hop = lambda v: H @ v  # noqa: E731
+
+        def model_q(s):
+            return jnp.dot(st.g, s) + 0.5 * jnp.dot(s, Hop(s))
+
+        s_c, m_c = cauchy_point(st, Hop, model_q)
         # active set at the Cauchy point (reference: fix variables at
         # their bounds, solve on the free subspace)
         x_c = st.x + s_c
         eps_b = jnp.asarray(1e-10, dt)
         active = (x_c <= x_l + eps_b) | (x_c >= x_u - eps_b)
         free = ~active
-        # masked TRS over free variables: freeze actives via huge diag
         mask = free.astype(dt)
-        H_ff = H * mask[:, None] * mask[None, :] + jnp.diag(
-            jnp.where(free, 0.0, 1.0)
-        )
-        g_f = jnp.where(free, st.g + H @ s_c, 0.0)
+        g_f = jnp.where(free, st.g + Hop(s_c), 0.0)
         rad_left = jnp.sqrt(
             jnp.maximum(st.radius**2 - jnp.sum(s_c * s_c), 0.0)
         )
-        tr = trs_solve(H_ff, g_f, rad_left, ctl=trs_ctl)
+        if matrix_free:
+            # masked Krylov solve: operator acts on the free subspace,
+            # identity on the fixed one
+            def op(v):
+                return (mask * Hop(mask * v)
+                        + (1.0 - mask) * v)
+
+            tr = gltr_solve(op, g_f, rad_left,
+                            ctl=GLTRControl(itmax=ctl.gltr_itmax))
+        else:
+            # masked TRS over free variables: freeze actives via unit diag
+            H_ff = H * mask[:, None] * mask[None, :] + jnp.diag(
+                jnp.where(free, 0.0, 1.0)
+            )
+            tr = trs_solve(H_ff, g_f, rad_left, ctl=trs_ctl)
         s_f = jnp.where(free, tr.x, 0.0)
         # combined step, projected to remain feasible
         s_trial = _project(st.x + s_c + s_f, x_l, x_u) - st.x
-        m_trial = model(st, H, s_trial)
+        m_trial = model_q(s_trial)
         # fall back to the Cauchy step if the subspace step hurt the model
         use_sub = m_trial <= m_c
         s = jnp.where(use_sub, s_trial, s_c)

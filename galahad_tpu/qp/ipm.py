@@ -66,6 +66,9 @@ class IPMControl:
                                 # series order <= 4 with ROOTS step lengths
                                 # (reference cqp.f90:194-205, 345-349,
                                 # 4356-4365, 8996)
+    print_level: int = 0        # >= 1: one line per iteration on stdout
+                                # (the reference's printi/printt logging,
+                                # cqp.f90:2926 "Iter p-feas d-feas ...")
     mu_min_factor: float = 1.0e-12
     mu_target: float = 0.0      # > 0: stop the barrier AT this value and
                                 # converge to a mu-centered point (the WCP
@@ -790,6 +793,14 @@ def ipm_solve(qp: QP, ctl: IPMControl = IPMControl()):
         cp = checkpoint_update(
             cp, jnp.maximum(st.res_p, jnp.maximum(st.res_d, st.res_c)),
             int(st.iter), _time.perf_counter() - t_start)
+        if ctl.print_level >= 1:
+            if k == 0:
+                print(" iter     p-feas     d-feas   com-slck"
+                      "         mu    time")
+            print(f"{int(st.iter):5d} {float(st.res_p):10.2e}"
+                  f" {float(st.res_d):10.2e} {float(st.res_c):10.2e}"
+                  f" {float(st.mu):10.2e}"
+                  f" {_time.perf_counter() - t_start:7.2f}")
         if bool(st.halt):
             break
         if (ctl.clock_time_limit >= 0

@@ -98,6 +98,30 @@ class TestLancelot:
         np.testing.assert_allclose(np.asarray(info.x), [-1.0, -1.0],
                                    atol=1e-4)
 
+    def test_large_n_matrix_free(self):
+        """n=400 constrained problem through the auto-selected "hvp"
+        inner model: no dense (n, n) Hessian is ever materialized
+        (LANCELOT's group-partial-separability role; SURVEY §3.3)."""
+        from galahad_tpu.nlp.lancelot import LancelotControl
+
+        n = 400
+
+        def f(x):
+            return jnp.sum((x - 1.0) ** 2) + 0.1 * jnp.sum(
+                (x[1:] * x[:-1]) ** 2)
+
+        def c(x):
+            return jnp.array([jnp.sum(x) - 10.0])
+
+        info = lancelot_solve(f, c, jnp.full(n, 0.5),
+                              jnp.array([0.0]), jnp.array([0.0]),
+                              ctl=LancelotControl(maxit=20))
+        assert bool(info.converged)
+        assert float(info.infeas) < 1e-5
+        # KKT: grad f + y * grad c = 0 with c(x) = 0
+        x = np.asarray(info.x)
+        assert abs(x.sum() - 10.0) < 1e-4
+
 
 class TestFiltrane:
     def test_nonlinear_system(self):

@@ -130,6 +130,25 @@ class TestTRB:
         assert int(st.status) == int(Status.OK)
         np.testing.assert_allclose(np.asarray(st.x), np.ones(3), atol=1e-6)
 
+    def test_hvp_matches_newton(self):
+        """Matrix-free (jvp-of-grad + masked GLTR) TRB agrees with the
+        dense-Hessian path (the large-n configuration LANCELOT uses;
+        reference trb.f90 hessian-product reverse-communication)."""
+        from galahad_tpu.nlp.tru import TRBControl
+
+        def f(x):
+            return jnp.sum((x - 2.0) ** 2) + jnp.sum(
+                (x[1:] * x[:-1]) ** 2)
+
+        lo, hi = jnp.full(6, -0.5), jnp.full(6, 1.2)
+        stn = trb_solve(f, jnp.zeros(6), lo, hi,
+                        TRBControl(model="newton"))
+        sth = trb_solve(f, jnp.zeros(6), lo, hi,
+                        TRBControl(model="hvp"))
+        assert int(sth.status) == int(Status.OK)
+        np.testing.assert_allclose(np.asarray(sth.x), np.asarray(stn.x),
+                                   atol=1e-5)
+
 
 class TestARC:
     def test_rosenbrock_direct(self):
