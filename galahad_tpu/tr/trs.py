@@ -341,10 +341,45 @@ def rqs_solve(H, c, sigma, p=3.0, M=None, ctl: RQSControl = RQSControl()):
 
 
 def dps_solve(H, c, radius=None, sigma=None, p=3.0, M=None,
-              ctl: TRSControl = TRSControl()):
-    """DPS equivalent (reference src/dps/dps.f90:578): solve TRS or RQS in
-    a diagonalizing norm.  Our eigen-based TRS *is* the diagonalizing
-    approach, so this dispatches on which of radius/sigma is given."""
+              goldfarb: bool = False, ctl: TRSControl = TRSControl()):
+    """DPS (reference src/dps/dps.f90:578): solve TRS or RQS in a
+    DIAGONALIZING norm built from H itself — by default the modified
+    absolute-value norm M = Q |Lambda|_mod Q' (small eigenvalues floored;
+    dps.f90 'modified absolute-value version'), or the Goldfarb variant
+    (|Lambda| floored at a fraction of lambda_max) when ``goldfarb``.
+
+    In the transformed coordinates u = |Lambda|^{1/2} Q' x the problem is
+    a unit-norm TRS/RQS with spectrum sign(lambda) — solved by the same
+    secular machinery, and re-solves for new (c, radius/sigma) reuse the
+    eigendecomposition (DPS_resolve semantics, dps.f90).
+
+    ``M`` (a caller-supplied norm) overrides the built norm and falls
+    back to plain TRS/RQS in that norm."""
+    if M is not None:
+        if radius is not None:
+            return trs_solve(H, c, radius, M=M, ctl=ctl)
+        return rqs_solve(H, c, sigma, p=p, M=M)
+
+    H = jnp.asarray(H)
+    c = jnp.asarray(c, H.dtype)
+    lam, Q = jnp.linalg.eigh(H)
+    eps = jnp.finfo(lam.dtype).eps
+    if goldfarb:
+        floor = jnp.maximum(
+            eps ** 0.5 * jnp.max(jnp.abs(lam), axis=-1, keepdims=True),
+            eps)
+    else:
+        floor = jnp.asarray(eps ** 0.5, lam.dtype)
+    a = jnp.maximum(jnp.abs(lam), floor)          # |Lambda|_mod
+    rs = jnp.sqrt(a)
+    lam_u = lam / a                                # sign spectrum
+    ct_u = jnp.einsum("...ij,...i->...j", Q, c) / rs
+
+    def back(w):
+        return jnp.einsum("...ij,...j->...i", Q, w / rs)
+
     if radius is not None:
-        return trs_solve(H, c, radius, M=M, ctl=ctl)
-    return rqs_solve(H, c, sigma, p=p, M=M)
+        return _trs_from_eigen(lam_u, ct_u, radius, back, ctl)
+    info = rqs_solve(jnp.diag(lam_u) if lam_u.ndim == 1 else
+                     jax.vmap(jnp.diag)(lam_u), ct_u, sigma, p=p)
+    return dataclasses.replace(info, x=back(info.x))

@@ -16,6 +16,14 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 # Persistent compile cache: the suite is dominated by XLA compilation of
-# the jitted solvers; cache across runs.
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+# the jitted solvers; cache across runs.  KEYED BY HOST: XLA:CPU AOT
+# executables encode the build machine's CPU features, and this repo is
+# exercised from more than one host (the TPU-tunnel runner included) —
+# sharing one cache dir across them loads foreign-feature executables
+# and segfaults (observed: cpu_aot_loader 'prefer-no-scatter not
+# supported ... SIGILL', then SIGSEGV in the cache read/write path).
+import platform  # noqa: E402
+
+_cache = f"/root/repo/.jax_cache/{platform.node()}-{platform.machine()}"
+jax.config.update("jax_compilation_cache_dir", _cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
