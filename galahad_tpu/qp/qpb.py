@@ -196,7 +196,27 @@ def qpb_solve(qp: QP, ctl: QPBControl = QPBControl()) -> QPBInfo:
         else:
             sigma = max(sigma * ctl.sigma_grow, 1e-8)
             if sigma > 1e12:
-                status = int(Status.TINY_STEP)
+                # stalled: if the ACCEPTED iterate (v with its accepted
+                # multiplier y — not the rejected trial's y) already
+                # satisfies the stopping tolerances at a small barrier
+                # parameter, this is a successful exit, not a failure
+                # (the reference also accepts optimal-but-unimprovable
+                # points, qpb.f90)
+                s_l0, s_u0 = dists(v)
+                zf = (jnp.where(ml, mu / s_l0, 0.0)
+                      - jnp.where(mh, mu / s_u0, 0.0))
+                rr = q_grad(v) - (E.T @ y if m else 0.0) - zf
+                # dual feasibility concerns the x-rows; the slack rows
+                # carry y vs mu/s complementarity handled by res_c
+                rd_t = float(jnp.max(jnp.abs(
+                    jnp.where(fixed, 0.0, rr)[:n])))
+                rp_t = (float(jnp.max(jnp.abs(E @ v), initial=0.0))
+                        if m else 0.0)
+                if (float(mu) < 1e-5 and rd_t < ctl.stop_d
+                        and rp_t < ctl.stop_p):
+                    status = int(Status.OK)
+                else:
+                    status = int(Status.TINY_STEP)
                 break
         if float(mu) < 1e-10 and float(res_d) < ctl.stop_d \
                 and float(res_p) < ctl.stop_p:

@@ -349,3 +349,108 @@ class TestLPAExampleRecord:
         assert abs(obj - 6.0) < 1e-5
         np.testing.assert_allclose(np.asarray(x), [-1.0, 3.0, -1.0],
                                    atol=1e-4)
+
+
+class TestQPBExampleRecord:
+    """reference src/qpb/qpbs.f90: NONCONVEX H coo (1,1)=1 (2,2)=2
+    (3,3)=3 (3,1)=4, same constraint data as the CQP trio; committed
+    record src/qpb/qpbds.output: 'objective 5.4459,
+    x = (-0.054054, 1.1081, 0.89189)' (same values in qpads.output)."""
+
+    def _qp(self):
+        inf = 1e20
+        return QP(
+            H=jnp.asarray([[1.0, 0.0, 4.0],
+                           [0.0, 2.0, 0.0],
+                           [4.0, 0.0, 3.0]]),
+            g=jnp.asarray([0.0, 2.0, 0.0]), f=1.0,
+            A=jnp.asarray([[2.0, 1.0, 0.0], [0.0, 1.0, 1.0]]),
+            c_l=jnp.asarray([1.0, 2.0]), c_u=jnp.asarray([2.0, 2.0]),
+            x_l=jnp.asarray([-1.0, -inf, -inf]),
+            x_u=jnp.asarray([1.0, inf, 2.0]),
+        )
+
+    def test_qpb_matches_committed_output(self):
+        from galahad_tpu.qp.qpb import qpb_solve
+
+        info = qpb_solve(self._qp())
+        assert int(info.status) == 0
+        assert abs(float(info.obj) - 5.4459) < 1e-3
+        np.testing.assert_allclose(
+            np.asarray(info.x), [-0.054054, 1.1081, 0.89189], atol=2e-3)
+
+
+class TestBQPBExampleRecord:
+    """reference src/bqpb/bqpbs.f90 (the BQP example through an IPM);
+    committed record src/bqpb/bqpbds.output: 'objective -1.0,
+    x = (2, -2, ~0)'."""
+
+    def test_matches_committed_output(self):
+        from galahad_tpu.qp.wrappers import bqpb_solve
+
+        inf = 1e20
+        H = jnp.asarray([[1.0, 1.0, 0.0],
+                         [1.0, 2.0, 0.0],
+                         [0.0, 0.0, 3.0]])
+        g = jnp.asarray([0.0, 2.0, 1.0])
+        x, y, z, st = bqpb_solve(H, g,
+                                 jnp.asarray([-1.0, -inf, 0.0]),
+                                 jnp.asarray([inf, 1.0, 2.0]), f=1.0)
+        assert int(st.status) == 0
+        obj = float(0.5 * x @ (H @ x) + g @ x + 1.0)
+        assert abs(obj + 1.0) < 1e-4
+        np.testing.assert_allclose(np.asarray(x), [2.0, -2.0, 0.0],
+                                   atol=1e-4)
+
+
+class TestUGOExampleRecord:
+    """reference src/ugo/ugos.f90: f(x) = x^2 cos(10 x) on [-1, 2];
+    committed record src/ugo/ugods.output: 'x* = 1.583361,
+    f* = -2.487269'."""
+
+    def test_matches_committed_output(self):
+        from galahad_tpu.go.ugo import ugo_solve
+
+        info = ugo_solve(lambda x: x * x * jnp.cos(10.0 * x), -1.0, 2.0)
+        assert abs(float(info.x) - 1.583361) < 1e-4
+        assert abs(float(info.f) + 2.487269) < 1e-5
+
+
+class TestLSRTExampleRecord:
+    """reference src/lsrt/lsrts.f90: same A = [I; diag(1..n)] data,
+    p = 3, sigma = 1; committed record src/lsrt/lsrtds.output:
+    'objective 21.9903278, ||x|| = 0.904718377, ||Ax-b|| = 6.59446524'
+    (run at fraction_opt = 0.99 — we must match or beat)."""
+
+    def test_matches_committed_output(self):
+        from galahad_tpu.tr.lstr import LSRTControl, lsrt_solve
+
+        n = 50
+        d = jnp.arange(1.0, n + 1)
+        info = lsrt_solve(lambda v: jnp.concatenate([v, d * v]),
+                          lambda u: u[:n] + d * u[n:],
+                          jnp.ones(2 * n), 1.0, p=3.0,
+                          ctl=LSRTControl(itmax=64))
+        # obj = 0.5||Ax-b||^2 + (sigma/p)||x||^p; the record ran at
+        # fraction_opt = 0.99, so full accuracy matches or beats it
+        assert float(info.obj) <= 21.9903278 + 1e-4
+        assert float(info.obj) >= 21.5
+
+
+class TestL2RTExampleRecord:
+    """reference src/l2rt/l2rts.f90: same data, p = 3, sigma = 1,
+    mu = 0; committed record src/l2rt/l2rtds.output:
+    'objective 6.79093482, ||x|| = 0.655966193, ||Ax-b|| = 6.69684923'."""
+
+    def test_matches_committed_output(self):
+        from galahad_tpu.tr.lstr import L2RTControl, l2rt_solve
+
+        n = 50
+        d = jnp.arange(1.0, n + 1)
+        info = l2rt_solve(lambda v: jnp.concatenate([v, d * v]),
+                          lambda u: u[:n] + d * u[n:],
+                          jnp.ones(2 * n), 1.0, p=3.0, mu=0.0,
+                          ctl=L2RTControl(itmax=64))
+        # obj = ||Ax-b|| + (sigma/p)||x||^p; record at fraction_opt=0.99
+        assert float(info.obj) <= 6.79093482 + 1e-4
+        assert float(info.obj) >= 6.5
