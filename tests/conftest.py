@@ -24,6 +24,11 @@ jax.config.update("jax_enable_x64", True)
 # supported ... SIGILL', then SIGSEGV in the cache read/write path).
 import platform  # noqa: E402
 
-_cache = f"/root/repo/.jax_cache/{platform.node()}-{platform.machine()}"
+# Concurrent pytest processes racing writes to one cache dir have also
+# been observed to segfault in put_executable_and_time: give any
+# parallel runner its own dir via GALAHAD_TPU_JAX_CACHE.
+_cache = os.environ.get(
+    "GALAHAD_TPU_JAX_CACHE",
+    f"/root/repo/.jax_cache/{platform.node()}-{platform.machine()}")
 jax.config.update("jax_compilation_cache_dir", _cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
