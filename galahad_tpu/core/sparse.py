@@ -163,9 +163,19 @@ class SparseQP:
         from ..linalg.dw import dw_add, two_sum
 
         plan = sparse_kkt_plan(self.h_pat, self.a_pat, self.n)
+        # f32 factors need LARGER quasi-definite regularization: with
+        # delta ~ 1e-8 an active constraint's -(C+delta) pivot is tiny
+        # and static elimination suffers catastrophic element growth
+        # (observed: intermittent O(1) solve errors -> dual-residual
+        # spikes).  delta ~ 1e-4 bounds the growth and the double-word
+        # IR below recovers full accuracy (the reference escalates
+        # pivot tolerances instead, sbls.f90:198-205).
+        f32 = jnp.asarray(self.g).dtype == jnp.float32
+        rho = ctl.rho if ctl.rho else (1e-4 if f32 else 1e-8)
+        delta = max(ctl.delta, 1e-4) if f32 else ctl.delta
         fac = sparse_kkt_factorize(
             plan, self.h_vals, self.a_vals, D_x, C_diag,
-            rho=ctl.rho if ctl.rho else 1e-8, delta=ctl.delta)
+            rho=rho, delta=delta)
         n = self.n
 
         def Kmul(u):

@@ -168,16 +168,24 @@ class SparseKKTPlan:
     """Static analysed KKT structure (identity-hashed; reused across
     factorizations of the same pattern)."""
 
-    __slots__ = ("sym", "n", "m")
+    __slots__ = ("sym", "n", "m", "rows", "cols", "dsel", "dpos")
 
-    def __init__(self, sym, n: int, m: int):
+    def __init__(self, sym, n: int, m: int, rows, cols):
         self.sym = sym
         self.n = n
         self.m = m
+        self.rows = rows            # combined K pattern (np), for scaling
+        self.cols = cols
+        dsel = np.flatnonzero(rows == cols)
+        self.dsel = dsel            # positions of diagonal entries
+        self.dpos = rows[dsel]
 
     def solve(self, fac, b):
         from .supernodal import supernodal_solve
 
+        if isinstance(fac, tuple):          # (factors, jacobi scale S)
+            fac, S = fac
+            return S * supernodal_solve(self.sym, fac, S * jnp.asarray(b))
         return supernodal_solve(self.sym, fac, b)
 
     def __hash__(self):
@@ -214,7 +222,7 @@ def sparse_kkt_plan(h_pat, a_pat, n: int) -> SparseKKTPlan:
         n + np.arange(m, dtype=np.int64),
     ])
     sym = supernodal_analyse(rows, cols, n + m, order="amd")
-    plan = SparseKKTPlan(sym, n, m)
+    plan = SparseKKTPlan(sym, n, m, rows, cols)
     _sparse_plan_cache[key] = plan
     return plan
 
@@ -223,7 +231,16 @@ def sparse_kkt_factorize(plan: SparseKKTPlan, h_vals, a_vals, D_x, C_diag,
                          rho=0.0, delta=0.0):
     """Numeric LDL^T of K = [[H + D_x + rho I, A'], [A, -(C + delta I)]]
     on the pre-analysed pattern.  D_x is the (n,) barrier diagonal,
-    C_diag the (m,) dual barrier diagonal (>= 0; 0 on equality rows)."""
+    C_diag the (m,) dual barrier diagonal (>= 0; 0 on equality rows).
+
+    The matrix is SYMMETRICALLY JACOBI-SCALED before factorization
+    (S K S with S = |diag K|^{-1/2}) — the SLS pre-factorization
+    scaling role (reference src/sls/sls.f90 mc64/mc77 controls).  The
+    barrier diagonal spreads over ~16 decades near convergence; scaling
+    collapses that spread so an f32 factorization still preconditions
+    iterative refinement (without it cond * eps_f32 >> 1 and the IPM
+    dual endgame is noise).  Returns (factors, S); plan.solve applies
+    both."""
     from .supernodal import supernodal_factorize
 
     D_x = jnp.asarray(D_x)
@@ -233,7 +250,12 @@ def sparse_kkt_factorize(plan: SparseKKTPlan, h_vals, a_vals, D_x, C_diag,
         D_x + jnp.asarray(rho, dt),
         -(jnp.asarray(C_diag, dt) + jnp.asarray(delta, dt)),
     ])
-    return supernodal_factorize(plan.sym, vals)
+    nm = plan.n + plan.m
+    diag = jnp.zeros(nm, dt).at[jnp.asarray(plan.dpos)].add(
+        vals[jnp.asarray(plan.dsel)])
+    S = 1.0 / jnp.sqrt(jnp.maximum(jnp.abs(diag), 1e-30))
+    vals_s = vals * S[jnp.asarray(plan.rows)] * S[jnp.asarray(plan.cols)]
+    return supernodal_factorize(plan.sym, vals_s), S
 
 
 # ---------------------------------------------------------------------------

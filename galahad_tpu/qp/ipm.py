@@ -30,6 +30,8 @@ import dataclasses
 from functools import partial
 from typing import Any
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -91,7 +93,9 @@ class IPMControl:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["x", "c", "y", "z_l", "z_u", "y_l", "y_u", "mu",
+    data_fields=["x", "c", "y", "z_l", "z_u", "y_l", "y_u",
+                 "x_lo", "c_lo", "y_lo", "zl_lo", "zu_lo", "yl_lo", "yu_lo",
+                 "s_l", "s_u", "t_l", "t_u", "mu",
                  "iter", "converged", "halt", "status",
                  "res_p", "res_d", "res_c", "best_infeas", "stall"],
     meta_fields=[],
@@ -105,6 +109,18 @@ class IPMState:
     z_u: Any
     y_l: Any
     y_u: Any
+    x_lo: Any         # double-word low words of the iterate: the KKT
+    c_lo: Any         # residual of an f32-rounded point is floored at
+    y_lo: Any         # eps*|H||x| ~ 1e-6, so to CONVERGE below that on
+    zl_lo: Any        # f32 hardware the iterate itself is carried as a
+    zu_lo: Any        # (hi, lo) pair and residuals are evaluated against
+    yl_lo: Any        # both words (Carson-Higham mixed-precision IR,
+    yu_lo: Any        # linalg/dw.py; replaces the reference's fp64 path)
+    s_l: Any          # carried bound distances x - x_l (DIST_X_l, the
+    s_u: Any          # reference maintains these explicitly rather than
+    t_l: Any          # recomputing x - x_l: near convergence the distance
+    t_u: Any          # is far below one ulp OF X, so x_u - x would round
+                      # to 0 in f32 and z/s -> inf; cqp.f90 state docs)
     mu: Any
     iter: Any
     converged: Any
@@ -153,10 +169,15 @@ def ipm_init(qp: QP, masks: BoundMasks, ctl: IPMControl) -> IPMState:
     y0 = qp.y if qp.y is not None else jnp.zeros(m, dt)
     y = jnp.where(masks.c_equality, y0, y_l - y_u)
 
-    mu = _avg_complementarity(qp, masks, x, c, z_l, z_u, y_l, y_u)
+    s_l, s_u, t_l, t_u = _distances(qp, masks, x, c)
+    mu = _avg_complementarity(masks, s_l, s_u, t_l, t_u, z_l, z_u, y_l, y_u,
+                              dt)
     inf = jnp.asarray(jnp.inf, dt)
+    zn, zm = jnp.zeros_like(x), jnp.zeros_like(c)
     return IPMState(
-        x=x, c=c, y=y, z_l=z_l, z_u=z_u, y_l=y_l, y_u=y_u, mu=mu,
+        x=x, c=c, y=y, z_l=z_l, z_u=z_u, y_l=y_l, y_u=y_u,
+        x_lo=zn, c_lo=zm, y_lo=zm, zl_lo=zn, zu_lo=zn, yl_lo=zm, yu_lo=zm,
+        s_l=s_l, s_u=s_u, t_l=t_l, t_u=t_u, mu=mu,
         iter=jnp.array(0, jnp.int32),
         converged=jnp.array(False),
         halt=jnp.array(False),
@@ -174,8 +195,7 @@ def _distances(qp: QP, masks: BoundMasks, x, c):
     return s_l, s_u, t_l, t_u
 
 
-def _avg_complementarity(qp, masks, x, c, z_l, z_u, y_l, y_u):
-    s_l, s_u, t_l, t_u = _distances(qp, masks, x, c)
+def _avg_complementarity(masks, s_l, s_u, t_l, t_u, z_l, z_u, y_l, y_u, dt):
     ml_x = masks.has_xl & ~masks.x_fixed
     mu_x = masks.has_xu & ~masks.x_fixed
     ml_c = masks.has_cl & ~masks.c_equality
@@ -188,26 +208,32 @@ def _avg_complementarity(qp, masks, x, c, z_l, z_u, y_l, y_u):
     )
     count = (
         jnp.sum(ml_x) + jnp.sum(mu_x) + jnp.sum(ml_c) + jnp.sum(mu_c)
-    ).astype(qp.g.dtype)
+    ).astype(dt)
     return total / jnp.maximum(count, 1.0)
 
 
-def _residuals(qp: QP, masks: BoundMasks, st: IPMState):
-    """(r_p, r_d, comp) inf-norms for the termination test
-    (componentwise test, reference cqp.f90:4369-4385).  Residual terms
-    combine with compensated summation so the cancellation to ~1e-6 is
-    measured faithfully in f32 (linalg/dw.py, SURVEY §7.3)."""
+def _residual_vectors(qp: QP, masks: BoundMasks, st: IPMState):
+    """Componentwise (r_d, r_p) evaluated against BOTH words of the
+    double-word iterate (compensated, linalg/dw.py) so the measurement
+    is faithful below the f32 floor (SURVEY §7.3)."""
     from ..linalg.dw import residual as dw_residual
 
     z = st.z_l - st.z_u
+    z_lo = st.zl_lo - st.zu_lo
     if qp.m > 0:
-        r_d = dw_residual(qp.Hx(st.x), -qp.g, z, qp.Aty(st.y))
-        r_p = dw_residual(qp.Ax(st.x), st.c)
+        r_d = dw_residual(qp.Hx(st.x), -qp.g, z, qp.Aty(st.y),
+                          -qp.Hx(st.x_lo), z_lo, qp.Aty(st.y_lo))
+        r_p = dw_residual(qp.Ax(st.x), st.c, -qp.Ax(st.x_lo), st.c_lo)
     else:
-        r_d = dw_residual(qp.Hx(st.x), -qp.g, z)
+        r_d = dw_residual(qp.Hx(st.x), -qp.g, z, -qp.Hx(st.x_lo), z_lo)
         r_p = jnp.zeros((0,), qp.g.dtype)
     r_d = jnp.where(masks.x_fixed, 0.0, r_d)
-    s_l, s_u, t_l, t_u = _distances(qp, masks, st.x, st.c)
+    return r_d, r_p
+
+
+def _comp_inf(qp: QP, masks: BoundMasks, st: IPMState):
+    """inf-norm of the complementarity products (carried distances)."""
+    s_l, s_u, t_l, t_u = st.s_l, st.s_u, st.t_l, st.t_u
     comp = jnp.maximum(
         jnp.max(jnp.where(masks.has_xl & ~masks.x_fixed,
                           jnp.abs(st.z_l * s_l), 0.0), initial=0.0),
@@ -224,9 +250,16 @@ def _residuals(qp: QP, masks: BoundMasks, st: IPMState):
                                   jnp.abs(st.y_u * t_u), 0.0), initial=0.0),
             ),
         )
+    return comp
+
+
+def _residuals(qp: QP, masks: BoundMasks, st: IPMState):
+    """(r_p, r_d, comp) inf-norms for the termination test
+    (componentwise test, reference cqp.f90:4369-4385)."""
+    r_d, r_p = _residual_vectors(qp, masks, st)
     res_p = jnp.max(jnp.abs(r_p), initial=0.0)
     res_d = jnp.max(jnp.abs(r_d))
-    return res_p, res_d, comp
+    return res_p, res_d, _comp_inf(qp, masks, st)
 
 
 def _fraction_to_boundary(v, dv, mask, tau, dtype):
@@ -252,7 +285,7 @@ def ipm_step(qp: QP, masks: BoundMasks, st: IPMState, ctl: IPMControl) -> IPMSta
     ml_c = masks.has_cl & ~masks.c_equality
     mu_c = masks.has_cu & ~masks.c_equality
 
-    s_l, s_u, t_l, t_u = _distances(qp, masks, st.x, st.c)
+    s_l, s_u, t_l, t_u = st.s_l, st.s_u, st.t_l, st.t_u
     z = st.z_l - st.z_u
 
     # --- barrier (primal-dual) diagonal terms (cqp.f90:4726-4740) ---
@@ -311,12 +344,18 @@ def ipm_step(qp: QP, masks: BoundMasks, st: IPMState, ctl: IPMControl) -> IPMSta
                 def kkt_solve(b1, b2):
                     return chol_solve(L, b1), b2
 
-    # --- residuals ---
-    r_d = qp.Hx(st.x) + qp.g - z
+    # --- residuals (dw-accurate: both words of the iterate enter, so
+    # the Newton RHS keeps reducing the TRUE residual past the f32
+    # representation floor) ---
+    from ..linalg.dw import residual as _dw_res
+
+    z_lo = st.zl_lo - st.zu_lo
     if m > 0:
-        r_d = r_d - qp.Aty(st.y)
-        r_p = qp.Ax(st.x) - st.c
+        r_d = _dw_res(qp.Hx(st.x), -qp.g, z, qp.Aty(st.y),
+                      -qp.Hx(st.x_lo), z_lo, qp.Aty(st.y_lo))
+        r_p = _dw_res(qp.Ax(st.x), st.c, -qp.Ax(st.x_lo), st.c_lo)
     else:
+        r_d = _dw_res(qp.Hx(st.x), -qp.g, z, -qp.Hx(st.x_lo), z_lo)
         r_p = jnp.zeros((0,), dt)
     r_d = jnp.where(masks.x_fixed, 0.0, r_d)
 
@@ -375,19 +414,31 @@ def ipm_step(qp: QP, masks: BoundMasks, st: IPMState, ctl: IPMControl) -> IPMSta
     a_p_aff, a_d_aff = _step_lengths(
         masks, s_l, s_u, t_l, t_u, st, aff, tau, dt, ml_x, mu_x, ml_c, mu_c
     )
-    mu_now = _avg_complementarity(qp, masks, st.x, st.c,
-                                  st.z_l, st.z_u, st.y_l, st.y_u)
+    mu_now = _avg_complementarity(masks, s_l, s_u, t_l, t_u,
+                                  st.z_l, st.z_u, st.y_l, st.y_u, dt)
 
     if ctl.series_order >= 2:
         # complementarity attained by the affine step -> centering sigma
+        # (trial distances updated incrementally, like the state update)
         mu_aff = _avg_complementarity(
-            qp, masks,
-            st.x + a_p_aff * aff["dx"], st.c + a_p_aff * aff["dc"],
+            masks,
+            s_l + a_p_aff * aff["dx"], s_u - a_p_aff * aff["dx"],
+            t_l + a_p_aff * aff["dc"], t_u - a_p_aff * aff["dc"],
             st.z_l + a_d_aff * aff["dz_l"], st.z_u + a_d_aff * aff["dz_u"],
             st.y_l + a_d_aff * aff["dy_l"], st.y_u + a_d_aff * aff["dy_u"],
+            dt,
         )
         sigma = (mu_aff / jnp.maximum(mu_now, 1e-30)) ** 3
         sigma = jnp.clip(sigma, 1e-4, 1.0 - 1e-4)
+        # Barrier floor: targeting mu below what the termination test
+        # needs (comp <= stop_abs_c) only ill-conditions the KKT — in
+        # f32 the z/s barrier diagonal overflows the factorization's
+        # accuracy and the duals diverge.  Floor the center target a
+        # couple of orders under stop_abs_c (the mu_min/pounce role of
+        # the reference's mu controls, cqp.f90:169-177,292-296).
+        mu_floor = jnp.asarray(3e-3 * ctl.stop_abs_c, dt)
+        sigma = jnp.clip(sigma * jnp.ones((), dt),
+                         mu_floor / jnp.maximum(mu_now, 1e-30), 10.0)
         if ctl.mu_target > 0:
             # WCP mode: the barrier target never drops below mu_target
             # (reference wcp.f90 drives pairs TO mu, not to zero)
@@ -523,27 +574,77 @@ def ipm_step(qp: QP, masks: BoundMasks, st: IPMState, ctl: IPMControl) -> IPMSta
             masks, s_l, s_u, t_l, t_u, st, d, tau, dt, ml_x, mu_x, ml_c, mu_c
         )
 
-    # --- update ---
-    x = st.x + a_p * d["dx"]
-    c = st.c + a_p * d["dc"]
-    z_l = jnp.where(ml_x, st.z_l + a_d * d["dz_l"], 0.0)
-    z_u = jnp.where(mu_x, st.z_u + a_d * d["dz_u"], 0.0)
-    y_l = jnp.where(ml_c, st.y_l + a_d * d["dy_l"], 0.0)
-    y_u = jnp.where(mu_c, st.y_u + a_d * d["dy_u"], 0.0)
-    y = jnp.where(masks.c_equality, st.y + a_d * d["dy"], y_l - y_u)
+    # --- update (double-word: hi + lo words carry the iterate to ~2x
+    # f32 precision so the attainable KKT residual is set by one
+    # matvec's rounding, not the f32 representation of x) ---
+    from ..linalg.dw import dw_add
+
+    x, x_lo = dw_add(st.x, st.x_lo, a_p * d["dx"])
+    c, c_lo = dw_add(st.c, st.c_lo, a_p * d["dc"])
+    z_l, zl_lo = dw_add(st.z_l, st.zl_lo, a_d * d["dz_l"])
+    z_u, zu_lo = dw_add(st.z_u, st.zu_lo, a_d * d["dz_u"])
+    y_l, yl_lo = dw_add(st.y_l, st.yl_lo, a_d * d["dy_l"])
+    y_u, yu_lo = dw_add(st.y_u, st.yu_lo, a_d * d["dy_u"])
+    z_l = jnp.where(ml_x, z_l, 0.0)
+    zl_lo = jnp.where(ml_x, zl_lo, 0.0)
+    z_u = jnp.where(mu_x, z_u, 0.0)
+    zu_lo = jnp.where(mu_x, zu_lo, 0.0)
+    y_l = jnp.where(ml_c, y_l, 0.0)
+    yl_lo = jnp.where(ml_c, yl_lo, 0.0)
+    y_u = jnp.where(mu_c, y_u, 0.0)
+    yu_lo = jnp.where(mu_c, yu_lo, 0.0)
+    yf, yf_lo = dw_add(st.y, st.y_lo, a_d * d["dy"])
+    y = jnp.where(masks.c_equality, yf, y_l - y_u)
+    y_lo = jnp.where(masks.c_equality, yf_lo, yl_lo - yu_lo)
+    # carried distances: incremental update at the DISTANCE's own scale
+    # (never recomputed as x_u - x, which cancels below one ulp of x in
+    # f32 near convergence — the DIST_X/DIST_C state of cqp.f90).  The
+    # fraction-to-boundary rule keeps s + a ds >= (1-tau) s > 0 up to
+    # rounding of the same scale; the floor guards the rounding.
+    dtiny = jnp.asarray(np.finfo(np.dtype(dt.name)).tiny * 16, dt)
+    ns_l = jnp.where(ml_x, jnp.maximum(s_l + a_p * d["dx"], dtiny), 1.0)
+    ns_u = jnp.where(mu_x, jnp.maximum(s_u - a_p * d["dx"], dtiny), 1.0)
+    nt_l = jnp.where(ml_c, jnp.maximum(t_l + a_p * d["dc"], dtiny), 1.0)
+    nt_u = jnp.where(mu_c, jnp.maximum(t_u - a_p * d["dc"], dtiny), 1.0)
 
     new = dataclasses.replace(
         st, x=x, c=c, y=y, z_l=z_l, z_u=z_u, y_l=y_l, y_u=y_u,
-        mu=_avg_complementarity(qp, masks, x, c, z_l, z_u, y_l, y_u),
+        x_lo=x_lo, c_lo=c_lo, y_lo=y_lo, zl_lo=zl_lo, zu_lo=zu_lo,
+        yl_lo=yl_lo, yu_lo=yu_lo,
+        s_l=ns_l, s_u=ns_u, t_l=nt_l, t_u=nt_u,
+        mu=_avg_complementarity(masks, ns_l, ns_u, nt_l, nt_u,
+                                z_l, z_u, y_l, y_u, dt),
         iter=st.iter + 1,
     )
-    res_p, res_d, res_c = _residuals(qp, masks, new)
+    # --- dual-residual absorption into bounded duals -------------------
+    # z enters the dual residual linearly with coefficient -1, so
+    # wherever a bound dual exists, z <- z + r_d zeroes that component
+    # EXACTLY while perturbing complementarity by only s * |r_d|.
+    # Guarded to fire only when that perturbation is far below the stop
+    # tolerance and the dual stays safely positive — this removes the
+    # f32 KKT-solve noise that otherwise makes the dual endgame wander
+    # (the role dynamic-pivoting accuracy plays for the reference).
+    r_d_vec, r_p_vec = _residual_vectors(qp, masks, new)
+    tol_c = jnp.asarray(0.1 * ctl.stop_abs_c, dt)
+    take_l = (ml_x & (new.z_l >= new.z_u) & (r_d_vec >= -0.5 * new.z_l)
+              & (new.s_l * jnp.abs(r_d_vec) <= tol_c))
+    take_u = (mu_x & ~take_l & (r_d_vec <= 0.5 * new.z_u)
+              & (new.s_u * jnp.abs(r_d_vec) <= tol_c))
+    az_l, azl_lo = dw_add(new.z_l, new.zl_lo,
+                          jnp.where(take_l, r_d_vec, 0.0))
+    az_u, azu_lo = dw_add(new.z_u, new.zu_lo,
+                          jnp.where(take_u, -r_d_vec, 0.0))
+    new = dataclasses.replace(
+        new, z_l=az_l, zl_lo=azl_lo, z_u=az_u, zu_lo=azu_lo)
+    r_d_vec = jnp.where(take_l | take_u, 0.0, r_d_vec)
+    res_d = jnp.max(jnp.abs(r_d_vec))
+    res_p = jnp.max(jnp.abs(r_p_vec), initial=0.0)
+    res_c = _comp_inf(qp, masks, new)
     if ctl.mu_target > 0:
         # WCP convergence: feasibility + every active complementarity
         # pair inside the two-sided band [gamma*mu_t, mu_t/gamma]
         # (the centered-point measures of WCP_solve, wcp.f90:935)
         mu_t = jnp.asarray(ctl.mu_target, dt)
-        ns_l, ns_u, nt_l, nt_u = _distances(qp, masks, new.x, new.c)
 
         def in_band(prod, mask):
             return jnp.all(jnp.where(
@@ -581,7 +682,7 @@ def ipm_step(qp: QP, masks: BoundMasks, st: IPMState, ctl: IPMControl) -> IPMSta
         jnp.where(infeasible, int(Status.PRIMAL_INFEASIBLE),
                   jnp.where(tiny, int(Status.TINY_STEP), new.status)),
     ).astype(jnp.int32)
-    return dataclasses.replace(
+    out = dataclasses.replace(
         new,
         res_p=res_p, res_d=res_d, res_c=res_c,
         converged=conv,
@@ -589,6 +690,25 @@ def ipm_step(qp: QP, masks: BoundMasks, st: IPMState, ctl: IPMControl) -> IPMSta
         status=status,
         best_infeas=jnp.minimum(st.best_infeas, res_p),
         stall=stall,
+    )
+    # --- non-finite guard: NEVER return NaN with a confident status ----
+    # The reference monitors residuals every iteration and exits with a
+    # diagnosed code (cqp.f90:163-168; symbols.f90:52-102); here a
+    # non-finite step rolls the state back to the best (previous)
+    # iterate and halts with ILL_CONDITIONED (-12) so inform reports the
+    # honest residuals actually attained (VERDICT r3 item 2).
+    bad = ~jnp.isfinite(res_p + res_d + res_c + a_p + a_d
+                        + jnp.sum(x) + jnp.sum(z_l) + jnp.sum(z_u))
+    rolled = jax.tree_util.tree_map(
+        lambda prev_leaf, new_leaf: jnp.where(bad, prev_leaf, new_leaf),
+        st, out)
+    return dataclasses.replace(
+        rolled,
+        iter=out.iter,
+        halt=jnp.where(bad, True, out.halt),
+        converged=jnp.where(bad, st.converged, out.converged),
+        status=jnp.where(bad, int(Status.ILL_CONDITIONED),
+                         out.status).astype(jnp.int32),
     )
 
 
@@ -661,7 +781,7 @@ def ipm_indicators(qp: QP, masks: BoundMasks, st: IPMState, ctl: IPMControl,
         and -> 1 off it (needs ``prev``; falls back to pd_ratio when the
         previous iterate is unavailable).
     """
-    s_l, s_u, t_l, t_u = _distances(qp, masks, st.x, st.c)
+    s_l, s_u, t_l, t_u = st.s_l, st.s_u, st.t_l, st.t_u
     kind = ctl.indicator_type
     if kind == "tapia" and prev is None:
         kind = "pd_ratio"
@@ -686,7 +806,7 @@ def ipm_indicators(qp: QP, masks: BoundMasks, st: IPMState, ctl: IPMControl,
         return jnp.where(lo, -1, jnp.where(hi, 1, 0)).astype(jnp.int32)
 
     if prev is not None:
-        ps_l, ps_u, pt_l, pt_u = _distances(qp, masks, prev.x, prev.c)
+        ps_l, ps_u, pt_l, pt_u = prev.s_l, prev.s_u, prev.t_l, prev.t_u
     else:
         ps_l = ps_u = pt_l = pt_u = None
     b_stat = decide(s_l, s_u, st.z_l, st.z_u,
@@ -718,6 +838,25 @@ def extract_solution(qp: QP, masks: BoundMasks, st: IPMState):
         r = r - qp.Aty(st.y)
     z = jnp.where(masks.x_fixed, r, z)
     return st.x, st.y, z
+
+
+def solution_dw(qp: QP, masks: BoundMasks, st: IPMState):
+    """(x, y, z) as float64 numpy, combining BOTH words of the
+    double-word iterate — on f32 hardware this is the solver's actual
+    accuracy (each f32 (hi, lo) pair sums exactly in f64); use it when
+    evaluating final KKT residuals outside the solver."""
+    import numpy as _np
+
+    f8 = _np.float64
+    x = _np.asarray(st.x, f8) + _np.asarray(st.x_lo, f8)
+    y = _np.asarray(st.y, f8) + _np.asarray(st.y_lo, f8)
+    z = (_np.asarray(st.z_l, f8) + _np.asarray(st.zl_lo, f8)
+         - _np.asarray(st.z_u, f8) - _np.asarray(st.zu_lo, f8))
+    fixed = _np.asarray(masks.x_fixed)
+    if fixed.any():
+        _, _, z_hi = extract_solution(qp, masks, st)
+        z = _np.where(fixed, _np.asarray(z_hi, f8), z)
+    return x, y, z
 
 
 @dataclasses.dataclass
@@ -780,6 +919,8 @@ def ipm_solve(qp: QP, ctl: IPMControl = IPMControl()):
     t_solve = 0.0
     timed_out = False
     prev_st = None
+    best_st = None
+    best_kkt = float("inf")
     for k in range(ctl.maxit):
         t0 = _time.perf_counter()
         prev_st = st
@@ -801,6 +942,10 @@ def ipm_solve(qp: QP, ctl: IPMControl = IPMControl()):
                   f" {float(st.res_d):10.2e} {float(st.res_c):10.2e}"
                   f" {float(st.mu):10.2e}"
                   f" {_time.perf_counter() - t_start:7.2f}")
+        kkt_now = max(float(st.res_p), float(st.res_d), float(st.res_c))
+        if kkt_now < best_kkt:
+            best_kkt = kkt_now
+            best_st = st
         if bool(st.halt):
             break
         if (ctl.clock_time_limit >= 0
@@ -811,6 +956,15 @@ def ipm_solve(qp: QP, ctl: IPMControl = IPMControl()):
         st = dataclasses.replace(
             st, halt=jnp.array(True),
             status=jnp.array(int(Status.CPU_LIMIT), jnp.int32))
+    # Best-iterate recovery (cqp.f90:163-168 residual-monitoring
+    # contract): if late iterations degraded the KKT residuals, report
+    # the best iterate actually attained, keeping the diagnosed status.
+    if (best_st is not None and not bool(st.converged)
+            and best_kkt < max(float(st.res_p), float(st.res_d),
+                               float(st.res_c))):
+        st = dataclasses.replace(
+            best_st, iter=st.iter, halt=st.halt, status=st.status,
+            converged=st.converged)
     x, y, z = extract_solution(qp, masks, st)
     b_stat, c_stat = ipm_indicators(qp, masks, st, ctl, prev=prev_st)
     iters = int(st.iter)
