@@ -27,7 +27,10 @@ if not _os.environ.get("GALAHAD_TPU_NO_COMPILE_CACHE"):
                     _os.path.expanduser("~/.cache/galahad_tpu/jax"),
                 ),
             )
-        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        # eager scatter/gather ops cost ~0.3-1 s EACH to compile and the
+        # sparse path dispatches hundreds of distinct shapes; cache all
+        # but the truly trivial ones
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
     except Exception:  # pragma: no cover - cache is best-effort
         pass
 

@@ -168,7 +168,7 @@ class SparseKKTPlan:
     """Static analysed KKT structure (identity-hashed; reused across
     factorizations of the same pattern)."""
 
-    __slots__ = ("sym", "n", "m", "rows", "cols", "dsel", "dpos")
+    __slots__ = ("sym", "n", "m", "rows", "cols", "dsel", "dpos", "_dev")
 
     def __init__(self, sym, n: int, m: int, rows, cols):
         self.sym = sym
@@ -179,14 +179,27 @@ class SparseKKTPlan:
         dsel = np.flatnonzero(rows == cols)
         self.dsel = dsel            # positions of diagonal entries
         self.dpos = rows[dsel]
+        self._dev = None            # device copies of the index arrays
+
+    def device_indices(self):
+        if self._dev is None:
+            self._dev = tuple(jnp.asarray(a, jnp.int32) for a in
+                              (self.rows, self.cols, self.dsel, self.dpos))
+        return self._dev
 
     def solve(self, fac, b):
-        from .supernodal import supernodal_solve
+        from .supernodal_flat import FlatPlan, flat_solve
 
+        if isinstance(self.sym, FlatPlan):
+            _solve = lambda f, v: flat_solve(self.sym, f, v)
+        else:
+            from .supernodal import supernodal_solve
+
+            _solve = lambda f, v: supernodal_solve(self.sym, f, v)
         if isinstance(fac, tuple):          # (factors, jacobi scale S)
             fac, S = fac
-            return S * supernodal_solve(self.sym, fac, S * jnp.asarray(b))
-        return supernodal_solve(self.sym, fac, b)
+            return S * _solve(fac, S * jnp.asarray(b))
+        return _solve(fac, b)
 
     def __hash__(self):
         return id(self)
@@ -198,16 +211,19 @@ class SparseKKTPlan:
 _sparse_plan_cache: dict = {}
 
 
-def sparse_kkt_plan(h_pat, a_pat, n: int) -> SparseKKTPlan:
+def sparse_kkt_plan(h_pat, a_pat, n: int,
+                    backend: str = "flat") -> SparseKKTPlan:
     """Analyse the augmented KKT pattern [[H, A'], [A, -C]] (H lower
     pattern + A + both diagonals).  Cached per (h_pat, a_pat) pair —
-    the SLS_analyse-once contract (reference src/sls/sls.f90:2178)."""
-    key = (h_pat, a_pat)
+    the SLS_analyse-once contract (reference src/sls/sls.f90:2178).
+
+    backend="flat" (default) uses the compile-bounded flat-slab kernels
+    (linalg/supernodal_flat.py); "inline" traces the whole factorization
+    into the caller's jit (only sensible for small fixed patterns)."""
+    key = (h_pat, a_pat, backend)
     plan = _sparse_plan_cache.get(key)
     if plan is not None:
         return plan
-    from .supernodal import supernodal_analyse
-
     m = a_pat.m
     rows = np.concatenate([
         np.asarray(h_pat.rows, np.int64),
@@ -221,7 +237,14 @@ def sparse_kkt_plan(h_pat, a_pat, n: int) -> SparseKKTPlan:
         np.arange(n, dtype=np.int64),
         n + np.arange(m, dtype=np.int64),
     ])
-    sym = supernodal_analyse(rows, cols, n + m, order="amd")
+    if backend == "flat":
+        from .supernodal_flat import flat_analyse
+
+        sym = flat_analyse(rows, cols, n + m, order="amd")
+    else:
+        from .supernodal import supernodal_analyse
+
+        sym = supernodal_analyse(rows, cols, n + m, order="amd")
     plan = SparseKKTPlan(sym, n, m, rows, cols)
     _sparse_plan_cache[key] = plan
     return plan
@@ -241,7 +264,7 @@ def sparse_kkt_factorize(plan: SparseKKTPlan, h_vals, a_vals, D_x, C_diag,
     iterative refinement (without it cond * eps_f32 >> 1 and the IPM
     dual endgame is noise).  Returns (factors, S); plan.solve applies
     both."""
-    from .supernodal import supernodal_factorize
+    from .supernodal_flat import FlatPlan, flat_factorize
 
     D_x = jnp.asarray(D_x)
     dt = D_x.dtype
@@ -251,10 +274,14 @@ def sparse_kkt_factorize(plan: SparseKKTPlan, h_vals, a_vals, D_x, C_diag,
         -(jnp.asarray(C_diag, dt) + jnp.asarray(delta, dt)),
     ])
     nm = plan.n + plan.m
-    diag = jnp.zeros(nm, dt).at[jnp.asarray(plan.dpos)].add(
-        vals[jnp.asarray(plan.dsel)])
+    rows_d, cols_d, dsel_d, dpos_d = plan.device_indices()
+    diag = jnp.zeros(nm, dt).at[dpos_d].add(vals[dsel_d])
     S = 1.0 / jnp.sqrt(jnp.maximum(jnp.abs(diag), 1e-30))
-    vals_s = vals * S[jnp.asarray(plan.rows)] * S[jnp.asarray(plan.cols)]
+    vals_s = vals * S[rows_d] * S[cols_d]
+    if isinstance(plan.sym, FlatPlan):
+        return flat_factorize(plan.sym, vals_s), S
+    from .supernodal import supernodal_factorize
+
     return supernodal_factorize(plan.sym, vals_s), S
 
 

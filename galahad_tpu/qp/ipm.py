@@ -574,6 +574,17 @@ def ipm_step(qp: QP, masks: BoundMasks, st: IPMState, ctl: IPMControl) -> IPMSta
             masks, s_l, s_u, t_l, t_u, st, d, tau, dt, ml_x, mu_x, ml_c, mu_c
         )
 
+    return _apply_direction(qp, masks, st, ctl, d, a_p, a_d,
+                            s_l, s_u, t_l, t_u, ml_x, mu_x, ml_c, mu_c)
+
+
+def _apply_direction(qp, masks, st, ctl, d, a_p, a_d,
+                     s_l, s_u, t_l, t_u, ml_x, mu_x, ml_c, mu_c):
+    """Shared step tail: dw update, dual absorption, convergence
+    test, failure guards and the non-finite rollback (used by both
+    the fused ipm_step and the sparse split-step driver)."""
+    dt = qp.g.dtype
+    m = qp.m
     # --- update (double-word: hi + lo words carry the iterate to ~2x
     # f32 precision so the attainable KKT residual is set by one
     # matvec's rounding, not the f32 representation of x) ---
@@ -898,6 +909,184 @@ def _jitted_step(qp: QP, masks: BoundMasks, st: IPMState, ctl: IPMControl,
     return ipm_step(qp, masks, st, ctl)
 
 
+# ---------------------------------------------------------------------------
+# Split-step driver for SPARSE problems.
+#
+# The supernodal KKT path is host-orchestrated over shape-cached kernels
+# (linalg/supernodal_flat.py) and must NOT be traced into one giant XLA
+# program (231 s compile at n=144, VERDICT r3 item 3).  Running the whole
+# step eagerly instead costs hundreds of per-op compiles (measured ~250
+# distinct op shapes, ~1 s each on XLA:CPU).  The resolution: the step's
+# dense math is grouped into FIVE jitted segments — pre-KKT barrier,
+# RHS build, direction recovery, centering sigma, and the
+# update/guard/absorption finish — with the flat KKT factorize+solves
+# called on the host between them.  Five compiles per problem shape,
+# ~10 jit dispatches per iteration.
+# ---------------------------------------------------------------------------
+
+
+def _active_masks(masks):
+    return (masks.has_xl & ~masks.x_fixed, masks.has_xu & ~masks.x_fixed,
+            masks.has_cl & ~masks.c_equality,
+            masks.has_cu & ~masks.c_equality)
+
+
+def _barrier_diagonals(qp, masks, st, ctl):
+    dt = qp.g.dtype
+    ml_x, mu_x, ml_c, mu_c = _active_masks(masks)
+    D_x = (
+        jnp.where(ml_x, st.z_l / st.s_l, 0.0)
+        + jnp.where(mu_x, st.z_u / st.s_u, 0.0)
+        + jnp.where(masks.x_fixed, BIG, 0.0)
+    )
+    if qp.m > 0:
+        D_c = (jnp.where(ml_c, st.y_l / st.t_l, 0.0)
+               + jnp.where(mu_c, st.y_u / st.t_u, 0.0))
+        C_diag = jnp.where(
+            masks.c_equality, 0.0,
+            jnp.where(masks.c_free, BIG, 1.0 / jnp.maximum(D_c, 1.0 / BIG)),
+        )
+    else:
+        C_diag = jnp.zeros((0,), dt)
+    return D_x, C_diag
+
+
+@partial(jax.jit, static_argnames=("ctl",))
+def _sp_pre(qp, masks, st, ctl):
+    return _barrier_diagonals(qp, masks, st, ctl)
+
+
+def _corr_terms(st, d_prev, affine):
+    if affine:
+        z = jnp.zeros(())
+        return dict(xl=z, xu=z, cl=z, cu=z)
+    return dict(
+        xl=d_prev["dz_l"] * d_prev["dx"],
+        xu=-d_prev["dz_u"] * d_prev["dx"],
+        cl=d_prev["dy_l"] * d_prev["dc"],
+        cu=-d_prev["dy_u"] * d_prev["dc"],
+    )
+
+
+@partial(jax.jit, static_argnames=("ctl", "affine"))
+def _sp_rhs(qp, masks, st, ctl, mu_t, d_prev, C_diag, affine):
+    ml_x, mu_x, ml_c, mu_c = _active_masks(masks)
+    s_l, s_u, t_l, t_u = st.s_l, st.s_u, st.t_l, st.t_u
+    r_d, r_p = _residual_vectors(qp, masks, st)
+    corr = _corr_terms(st, d_prev, affine)
+    r_cl = jnp.where(ml_x, mu_t - st.z_l * s_l - corr["xl"], 0.0)
+    r_cu = jnp.where(mu_x, mu_t - st.z_u * s_u - corr["xu"], 0.0)
+    b1 = -r_d + _safe_div(r_cl, s_l, ml_x) - _safe_div(r_cu, s_u, mu_x)
+    b1 = jnp.where(masks.x_fixed, 0.0, b1)
+    if qp.m > 0:
+        r_tl = jnp.where(ml_c, mu_t - st.y_l * t_l - corr["cl"], 0.0)
+        r_tu = jnp.where(mu_c, mu_t - st.y_u * t_u - corr["cu"], 0.0)
+        w = _safe_div(r_tl, t_l, ml_c) - _safe_div(r_tu, t_u, mu_c)
+        b2 = jnp.where(
+            masks.c_free, 0.0,
+            -r_p + jnp.where(masks.c_equality, 0.0, w * C_diag),
+        )
+    else:
+        b2 = jnp.zeros((0,), qp.g.dtype)
+    return b1, b2
+
+
+@partial(jax.jit, static_argnames=("ctl", "affine"))
+def _sp_recover(qp, masks, st, ctl, mu_t, d_prev, dx, dy, affine):
+    ml_x, mu_x, ml_c, mu_c = _active_masks(masks)
+    s_l, s_u, t_l, t_u = st.s_l, st.s_u, st.t_l, st.t_u
+    dt = qp.g.dtype
+    corr = _corr_terms(st, d_prev, affine)
+    r_cl = jnp.where(ml_x, mu_t - st.z_l * s_l - corr["xl"], 0.0)
+    r_cu = jnp.where(mu_x, mu_t - st.z_u * s_u - corr["xu"], 0.0)
+    if qp.m > 0:
+        _, r_p = _residual_vectors(qp, masks, st)
+        r_tl = jnp.where(ml_c, mu_t - st.y_l * t_l - corr["cl"], 0.0)
+        r_tu = jnp.where(mu_c, mu_t - st.y_u * t_u - corr["cu"], 0.0)
+        dc = qp.Ax(dx) + r_p
+        dy_l = _safe_div(r_tl - st.y_l * dc, t_l, ml_c)
+        dy_u = _safe_div(r_tu + st.y_u * dc, t_u, mu_c)
+    else:
+        dc = jnp.zeros((0,), dt)
+        dy = jnp.zeros((0,), dt)
+        dy_l = dy_u = dc
+    dz_l = _safe_div(r_cl - st.z_l * dx, s_l, ml_x)
+    dz_u = _safe_div(r_cu + st.z_u * dx, s_u, mu_x)
+    dx = jnp.where(masks.x_fixed, 0.0, dx)
+    return dict(dx=dx, dc=dc, dy=dy, dz_l=dz_l, dz_u=dz_u,
+                dy_l=dy_l, dy_u=dy_u)
+
+
+@partial(jax.jit, static_argnames=("ctl",))
+def _sp_sigma(qp, masks, st, ctl, aff):
+    """Centering target sigma * mu from the affine predictor step."""
+    dt = qp.g.dtype
+    tau = jnp.asarray(ctl.tau, dt)
+    ml_x, mu_x, ml_c, mu_c = _active_masks(masks)
+    s_l, s_u, t_l, t_u = st.s_l, st.s_u, st.t_l, st.t_u
+    a_p, a_d = _step_lengths(
+        masks, s_l, s_u, t_l, t_u, st, aff, tau, dt, ml_x, mu_x, ml_c, mu_c)
+    mu_now = _avg_complementarity(masks, s_l, s_u, t_l, t_u,
+                                  st.z_l, st.z_u, st.y_l, st.y_u, dt)
+    mu_aff = _avg_complementarity(
+        masks,
+        s_l + a_p * aff["dx"], s_u - a_p * aff["dx"],
+        t_l + a_p * aff["dc"], t_u - a_p * aff["dc"],
+        st.z_l + a_d * aff["dz_l"], st.z_u + a_d * aff["dz_u"],
+        st.y_l + a_d * aff["dy_l"], st.y_u + a_d * aff["dy_u"], dt)
+    sigma = (mu_aff / jnp.maximum(mu_now, 1e-30)) ** 3
+    sigma = jnp.clip(sigma, 1e-4, 1.0 - 1e-4)
+    mu_floor = jnp.asarray(3e-3 * ctl.stop_abs_c, dt)
+    sigma = jnp.clip(sigma * jnp.ones((), dt),
+                     mu_floor / jnp.maximum(mu_now, 1e-30), 10.0)
+    if ctl.mu_target > 0:
+        sigma = jnp.maximum(
+            sigma, jnp.asarray(ctl.mu_target, dt)
+            / jnp.maximum(mu_now, 1e-30))
+        sigma = jnp.minimum(sigma, 2.0)
+    return sigma * mu_now
+
+
+@partial(jax.jit, static_argnames=("ctl",))
+def _sp_finish(qp, masks, st, ctl, d):
+    """Step lengths, dw update, absorption, convergence test and guards
+    — the tail of ipm_step for a host-supplied direction."""
+    dt = qp.g.dtype
+    tau = jnp.asarray(ctl.tau, dt)
+    ml_x, mu_x, ml_c, mu_c = _active_masks(masks)
+    s_l, s_u, t_l, t_u = st.s_l, st.s_u, st.t_l, st.t_u
+    a_p, a_d = _step_lengths(
+        masks, s_l, s_u, t_l, t_u, st, d, tau, dt, ml_x, mu_x, ml_c, mu_c)
+    return _apply_direction(qp, masks, st, ctl, d, a_p, a_d,
+                            s_l, s_u, t_l, t_u, ml_x, mu_x, ml_c, mu_c)
+
+
+def _sparse_ipm_step(qp, masks, st: IPMState, ctl: IPMControl) -> IPMState:
+    """One Mehrotra predictor-corrector iteration with the KKT solves on
+    the host flat path and the dense math in jitted segments."""
+    D_x, C_diag = _sp_pre(qp, masks, st, ctl)
+    kkt_solve = qp.build_kkt(D_x, C_diag, ctl)
+    dt = qp.g.dtype
+    zero = jnp.zeros((), dt)
+    zn = jnp.zeros_like(st.x)
+    zm = jnp.zeros_like(st.c)
+    zero_d = dict(dx=zn, dc=zm, dy=zm, dz_l=zn, dz_u=zn, dy_l=zm, dy_u=zm)
+
+    b1, b2 = _sp_rhs(qp, masks, st, ctl, zero, zero_d, C_diag, True)
+    dx, dy = kkt_solve(b1, b2)
+    aff = _sp_recover(qp, masks, st, ctl, zero, zero_d, dx, dy, True)
+    if ctl.series_order >= 2:
+        mu_t = _sp_sigma(qp, masks, st, ctl, aff)
+        d = aff
+        for _ in range(ctl.series_order - 1):
+            b1, b2 = _sp_rhs(qp, masks, st, ctl, mu_t, d, C_diag, False)
+            dx, dy = kkt_solve(b1, b2)
+            d = _sp_recover(qp, masks, st, ctl, mu_t, d, dx, dy, False)
+    else:
+        d = aff
+    return _sp_finish(qp, masks, st, ctl, d)
+
+
 def ipm_solve(qp: QP, ctl: IPMControl = IPMControl()):
     """Host-loop driver (single problem, early exit).
 
@@ -913,6 +1102,22 @@ def ipm_solve(qp: QP, ctl: IPMControl = IPMControl()):
     masks = classify_bounds(qp, ctl.infinity)
     st = ipm_init(qp, masks, ctl)
     qp = dataclasses.replace(qp, name="")   # avoid per-name recompilation
+    # Sparse problems run the step EAGERLY: the supernodal KKT path is
+    # host-orchestrated over shape-cached kernels (supernodal_flat), so
+    # compile time is bounded by the kernel ladder, not the pattern —
+    # tracing the whole step into one XLA program took 231 s at n=144
+    # and ~10 min at n~1e5 (VERDICT r3 item 3).  Dense/banded problems
+    # keep the single fused program.
+    if getattr(qp, "h_kind", None) == "sparse":
+        if ctl.arc in ("taylor", "puiseux", "zhao_sun") \
+                and ctl.series_order >= 2:
+            # series arcs keep the generic (eager) step — correct but
+            # per-op dispatched; the flagship default is the split step
+            step = lambda q, mk, s: ipm_step(q, mk, s, ctl)
+        else:
+            step = lambda q, mk, s: _sparse_ipm_step(q, mk, s, ctl)
+    else:
+        step = lambda q, mk, s: _jitted_step(q, mk, s, ctl, q.h_kind)
     t_pre = _time.perf_counter()
     cp = checkpoint_init()
     t_analyse = 0.0
@@ -924,7 +1129,7 @@ def ipm_solve(qp: QP, ctl: IPMControl = IPMControl()):
     for k in range(ctl.maxit):
         t0 = _time.perf_counter()
         prev_st = st
-        st = _jitted_step(qp, masks, st, ctl, qp.h_kind)
+        st = step(qp, masks, st)
         st.res_p.block_until_ready()
         dt_it = _time.perf_counter() - t0
         if k == 0:

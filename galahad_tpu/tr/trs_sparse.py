@@ -32,10 +32,12 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..core.config import control as control_dc
-from ..linalg.supernodal import (
-    supernodal_analyse,
-    supernodal_factorize,
-    supernodal_solve,
+# flat-slab backend: host-orchestrated shape-cached kernels, so the
+# per-trial-lambda refactorizations never re-trace (VERDICT r4 item 3)
+from ..linalg.supernodal_flat import (
+    flat_analyse as supernodal_analyse,
+    flat_factorize as supernodal_factorize,
+    flat_solve as supernodal_solve,
 )
 
 
