@@ -20,11 +20,20 @@ import jax as _jax
 if not _os.environ.get("GALAHAD_TPU_NO_COMPILE_CACHE"):
     try:
         if not _jax.config.jax_compilation_cache_dir:
+            # KEYED BY HOST: XLA:CPU AOT executables encode the build
+            # machine's CPU features; a cache dir shared across hosts
+            # (network home) loads foreign-feature code and can SIGILL
+            # (observed: cpu_aot_loader '+prefer-no-scatter not
+            # supported on the host machine').
+            import platform as _platform
+
             _jax.config.update(
                 "jax_compilation_cache_dir",
                 _os.environ.get(
                     "JAX_COMPILATION_CACHE_DIR",
-                    _os.path.expanduser("~/.cache/galahad_tpu/jax"),
+                    _os.path.expanduser(
+                        "~/.cache/galahad_tpu/jax-"
+                        f"{_platform.node()}-{_platform.machine()}"),
                 ),
             )
         # eager scatter/gather ops cost ~0.3-1 s EACH to compile and the

@@ -54,7 +54,8 @@ def _backsub(L, A, b, y):
     return gsolve(rhs)
 
 
-def block_angular_solve(mesh: Mesh, G, A, b, C, d, axis: str = "batch"):
+def block_angular_solve(mesh: Mesh, G, A, b, C, d, axis: str = "batch",
+                        use_psum: bool = True):
     """Solve the block-angular KKT system over a device mesh.
 
     G (K, n, n) SPD scenario blocks, A (K, m, n) coupling rows,
@@ -84,9 +85,16 @@ def block_angular_solve(mesh: Mesh, G, A, b, C, d, axis: str = "batch"):
         L, S_k, r_k = jax.vmap(_local_contrib)(Gl, Al, bl)
         S_local = jnp.sum(S_k, axis=0)
         r_local = jnp.sum(r_k, axis=0)
-        # ONE collective: assemble the coupling Schur complement
-        S = jax.lax.psum(S_local, axis) + Cr
-        r = jax.lax.psum(r_local, axis) - dr
+        # ONE collective: assemble the coupling Schur complement.
+        # (use_psum=False replaces the collective with the local terms —
+        # numerically wrong on >1 device, used ONLY to measure the
+        # communication fraction for the Amdahl scaling bound.)
+        if use_psum:
+            S = jax.lax.psum(S_local, axis) + Cr
+            r = jax.lax.psum(r_local, axis) - dr
+        else:
+            S = S_local * len(mesh.devices.flat) + Cr
+            r = r_local * len(mesh.devices.flat) - dr
         # replicated small solve:  (C + sum A G^-1 A') y = sum r - d
         Ls = jnp.linalg.cholesky(S)
         w = jax.scipy.linalg.solve_triangular(Ls, r, lower=True)
