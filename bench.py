@@ -168,7 +168,8 @@ def bench_sparse_kkt(k=128):
     Cd = jnp.asarray(rng.uniform(0.1, 1.0, m), dtype)
     b = jnp.asarray(rng.normal(size=n + m), dtype)
 
-    @jax.jit
+    # host-orchestrated flat path: do NOT wrap in jit (the kernels are
+    # shape-cached; tracing them into one program is the r3 compile bug)
     def fac_solve(hv, av, Dx, Cd, b):
         f = sparse_kkt_factorize(plan, hv, av, Dx, Cd, rho=1e-6, delta=1e-6)
         return plan.solve(f, b)
@@ -220,14 +221,44 @@ def bench_sparse_ipm(k=316):
     ar = np.repeat(np.arange(m), 2)
     ac = np.stack([np.arange(m), np.arange(m) + n - m]).T.reshape(-1)
     av = rng.uniform(0.5, 1.5, 2 * m)
+    import jax
+
+    import scipy.sparse as sp
+
+    from galahad_tpu.core.problem import classify_bounds
+    from galahad_tpu.qp.ipm import solution_dw
+
+    dtype = "float32" if jax.default_backend() == "tpu" else "float64"
     sqp = make_sparse_qp(
         n, m, h_coo=(ii, jj, vv), a_coo=(ar, ac, av),
         g=rng.normal(size=n), c_l=np.full(m, 1.0), c_u=np.full(m, 1e20),
-        x_l=np.zeros(n), x_u=np.full(n, 2.0))
+        x_l=np.zeros(n), x_u=np.full(n, 2.0), dtype=dtype)
+    ctl = IPMControl(dtype=dtype)
     t0 = time.perf_counter()
-    x, y, z, st = ipm_solve(sqp, IPMControl())
+    x, y, z, st = ipm_solve(sqp, ctl)
     wall = time.perf_counter() - t0
-    kkt = max(float(r) for r in kkt_residuals(sqp, x, y, z))
+    # Final KKT evaluated in f64 from the DOUBLE-WORD iterate — on f32
+    # hardware the (hi, lo) pair IS the solver's iterate; its f64 sum
+    # carries the full attained accuracy (qp/ipm.py solution_dw).
+    masks = classify_bounds(sqp, ctl.infinity)
+    xd, yd, zd = solution_dw(sqp, masks, st)
+    H = sp.csr_matrix((np.asarray(sqp.h_vals, np.float64),
+                       (sqp.h_pat.rows, sqp.h_pat.cols)), shape=(n, n))
+    H = H + sp.tril(H, -1).T
+    A = sp.csr_matrix((np.asarray(sqp.a_vals, np.float64),
+                       (sqp.a_pat.rows, sqp.a_pat.cols)), shape=(m, n))
+    g64 = np.asarray(sqp.g, np.float64)
+    r_d = float(np.max(np.abs(H @ xd + g64 - A.T @ yd - zd)))
+    slack = A @ xd
+    r_p = float(max(np.max(np.maximum(1.0 - slack, 0.0), initial=0.0),
+                    np.max(np.maximum(xd - 2.0, 0.0), initial=0.0),
+                    np.max(np.maximum(-xd, 0.0), initial=0.0)))
+    comp = float(max(np.max(np.abs(xd * np.maximum(zd, 0.0)), initial=0.0),
+                     np.max(np.abs((2.0 - xd) * np.maximum(-zd, 0.0)),
+                            initial=0.0),
+                     np.max(np.abs((slack - 1.0) * np.maximum(yd, 0.0)),
+                            initial=0.0)))
+    kkt = max(r_p, r_d, comp)
     return dict(n=n, m=m, nnz_h=int(len(vv)), wall_s=round(wall, 3),
                 iters=int(st.iter), kkt=kkt,
                 conv=bool(int(st.status) == 0))

