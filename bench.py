@@ -233,7 +233,10 @@ def bench_sparse_ipm(k=316):
         n, m, h_coo=(ii, jj, vv), a_coo=(ar, ac, av),
         g=rng.normal(size=n), c_l=np.full(m, 1.0), c_u=np.full(m, 1e20),
         x_l=np.zeros(n), x_u=np.full(n, 2.0), dtype=dtype)
-    ctl = IPMControl(dtype=dtype)
+    # leave headroom inside the driver's 600 s cap for the f64 endgame
+    # island and the final KKT evaluation; on timeout the solver
+    # returns its best iterate with an honest status
+    ctl = IPMControl(dtype=dtype, clock_time_limit=420.0)
     t0 = time.perf_counter()
     x, y, z, st = ipm_solve(sqp, ctl)
     wall = time.perf_counter() - t0
@@ -267,14 +270,21 @@ def bench_sparse_ipm(k=316):
 def main():
     tpu_rate = bench_batched_trs()
     cpu_rate = bench_cpu_sequential_trs()
+    headline = json.dumps(
+        {
+            "metric": "batched_trs_throughput_n64",
+            "value": round(tpu_rate, 1),
+            "unit": "subproblems/s",
+            "vs_baseline": round(tpu_rate / cpu_rate, 2),
+        }
+    )
+    # print the headline FIRST (sub-minute): if a driver wall-clock cap
+    # kills the long sparse benches below, the record still parses
+    print(headline, flush=True)
     try:
         print(f"sparse kkt: {bench_sparse_kkt()}", file=sys.stderr)
     except Exception as e:
         print(f"sparse kkt bench skipped: {e}", file=sys.stderr)
-    try:
-        print(f"sparse ipm 1e5: {bench_sparse_ipm()}", file=sys.stderr)
-    except Exception as e:
-        print(f"sparse ipm bench skipped: {e}", file=sys.stderr)
     try:
         qplib_times = bench_qplib_ipm()
         print(f"qplib ipm: {qplib_times}", file=sys.stderr)
@@ -284,16 +294,13 @@ def main():
         print(f"banded lp: {bench_banded_lp()}", file=sys.stderr)
     except Exception as e:
         print(f"banded lp bench skipped: {e}", file=sys.stderr)
-    print(
-        json.dumps(
-            {
-                "metric": "batched_trs_throughput_n64",
-                "value": round(tpu_rate, 1),
-                "unit": "subproblems/s",
-                "vs_baseline": round(tpu_rate / cpu_rate, 2),
-            }
-        )
-    )
+    # the flagship long bench runs LAST (f32 phase + f64 endgame island;
+    # wall fluctuates with tunnel load)
+    try:
+        print(f"sparse ipm 1e5: {bench_sparse_ipm()}", file=sys.stderr)
+    except Exception as e:
+        print(f"sparse ipm bench skipped: {e}", file=sys.stderr)
+    print(headline)
 
 
 if __name__ == "__main__":

@@ -160,6 +160,10 @@ def main(argv=None) -> int:
                         help="GALAHAD-style specfile of keyword overrides")
     common.add_argument("--scale", action="store_true")
     common.add_argument("--presolve", action="store_true")
+    common.add_argument("--dtype", default="auto",
+                        choices=["auto", "float32", "float64"],
+                        help="auto = float64 where the backend supports "
+                             "it (CPU), float32 on TPU")
 
     ps = sub.add_parser("solve", parents=[common])
     ps.add_argument("problem")
@@ -173,6 +177,16 @@ def main(argv=None) -> int:
     pb.set_defaults(fn=cmd_batch)
 
     args = ap.parse_args(argv)
+    # dtype resolution: the reference library is a double-precision
+    # Fortran code; on hosts that support it the CLI matches that
+    # default (TPU hardware is f32 + double-word refinement).
+    import jax
+
+    want64 = (args.dtype == "float64"
+              or (args.dtype == "auto"
+                  and jax.default_backend() != "tpu"))
+    if want64:
+        jax.config.update("jax_enable_x64", True)
     return args.fn(args)
 
 

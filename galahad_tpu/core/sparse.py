@@ -172,7 +172,10 @@ class SparseQP:
         # pivot tolerances instead, sbls.f90:198-205).
         f32 = jnp.asarray(self.g).dtype == jnp.float32
         rho = ctl.rho if ctl.rho else (1e-4 if f32 else 1e-8)
-        delta = max(ctl.delta, 1e-4) if f32 else ctl.delta
+        # a NON-default ctl.delta is an explicit user choice; only the
+        # untouched default is upgraded on f32
+        delta = (ctl.delta if ctl.delta != 1e-8
+                 else (1e-4 if f32 else ctl.delta))
         fac = sparse_kkt_factorize(
             plan, self.h_vals, self.a_vals, D_x, C_diag,
             rho=rho, delta=delta)

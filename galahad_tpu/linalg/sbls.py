@@ -240,7 +240,13 @@ def sparse_kkt_plan(h_pat, a_pat, n: int,
     if backend == "flat":
         from .supernodal_flat import flat_analyse
 
-        sym = flat_analyse(rows, cols, n + m, order="amd")
+        # aggressive supernode amalgamation: fewer/larger fronts cut
+        # the group/chunk count (host dispatches through the TPU
+        # tunnel cost ~ms each) and feed the MXU bigger matmuls, at
+        # ~20-40% extra fill (the SSIDS amalgamation tradeoff,
+        # src/ssids/anal.f90)
+        sym = flat_analyse(rows, cols, n + m, order="amd",
+                           relax_cols=16)
     else:
         from .supernodal import supernodal_analyse
 

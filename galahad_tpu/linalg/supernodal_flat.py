@@ -49,10 +49,11 @@ from .supernodal import _round_up
 # padding waste <= 33% while bounding the number of distinct kernel
 # shapes (every group in every problem maps onto this ladder).
 _FPAD_LADDER = sorted(
-    {8, 12, 16, 24, 32, 48, 64, 96, 128, 192, 256, 384, 512, 768, 1024,
+    {8, 16, 32, 64, 96, 128, 192, 256, 384, 512, 768, 1024,
      1536, 2048, 3072, 4096, 6144, 8192, 12288, 16384})
-_CH_LADDER = (512, 64, 8, 1)
-_CHUNK_ELEMS = 1 << 22           # cap CH * Fpad^2 (16 MB f32 per chunk)
+_CH_LADDER = (4096, 512, 64, 8, 1)
+_CHUNK_ELEMS = 1 << 24           # cap CH * Fpad^2 (64 MB f32 per chunk)
+_EA_ELEMS = 1 << 24              # cap nc * Um^2 in one extend-add op
 
 
 def _fpad_for(f: int) -> int:
@@ -62,10 +63,11 @@ def _fpad_for(f: int) -> int:
     return _round_up(f, 1024)
 
 
-def _chunks_of(nb: int, Fpad: int = 8):
+def _chunks_of(nb: int, Fpad: int = 8, cap_elems: int = None):
     """Decompose nb into chunk-ladder pieces (largest first), capping
     each chunk's memory footprint at _CHUNK_ELEMS elements."""
-    cap = max(1, _CHUNK_ELEMS // (Fpad * Fpad))
+    cap = (cap_elems if cap_elems is not None
+           else max(1, _CHUNK_ELEMS // (Fpad * Fpad)))
     out = []
     off = 0
     for ch in _CH_LADDER:
@@ -98,6 +100,44 @@ def _p2(x: int) -> int:
     return 1 << max(int(x) - 1, 0).bit_length() if x > 1 else 1
 
 
+def _etree_postorder(parent) -> np.ndarray:
+    """Postorder permutation of an elimination tree (children before
+    parents, subtrees contiguous).  Host-side numpy, O(n)."""
+    n = len(parent)
+    # build child lists (reversed so iterative DFS preserves order)
+    head = np.full(n + 1, -1, np.int64)   # slot n = virtual root
+    nxt = np.full(n, -1, np.int64)
+    for v in range(n - 1, -1, -1):
+        p = parent[v] if parent[v] >= 0 else n
+        nxt[v] = head[p]
+        head[p] = v
+    post = np.empty(n, np.int64)
+    k = 0
+    stack = []
+    v = head[n]
+    while v != -1:
+        stack.append((v, False))
+        v = nxt[v]
+    # stack holds roots in order; DFS each
+    stack.reverse()
+    while stack:
+        v, expanded = stack.pop()
+        if expanded:
+            post[k] = v
+            k += 1
+            continue
+        stack.append((v, True))
+        c = head[v]
+        children = []
+        while c != -1:
+            children.append(c)
+            c = nxt[c]
+        for c in reversed(children):
+            stack.append((c, False))
+    assert k == n
+    return post
+
+
 # ---------------------------------------------------------------------------
 # Plan
 # ---------------------------------------------------------------------------
@@ -111,8 +151,8 @@ class FlatGroup:
     level: int
     ncols: np.ndarray        # (nb,) eliminated columns
     frows: np.ndarray        # (nb, Fpad) global rows, sentinel = n_total
-    ea_src: np.ndarray       # extend-add: flat src indices (1-D, exact)
-    ea_dst: np.ndarray       #   flat dst indices (sentinel -> padded)
+    ea: list                 # extend-add ops: (nc, Um) row/col offset
+                             #   blocks; scol == -1 marks padding
 
 
 @dataclasses.dataclass
@@ -176,6 +216,18 @@ def flat_analyse(rows, cols, n, order: str = "amd",
     Al = sp.tril(A[perm][:, perm]).tocsc()
     parent, colcount, Lp, Li = symbolic_factor(
         Al.indptr.astype(np.int64), Al.indices.astype(np.int32), n)
+    # POSTORDER the elimination tree, then redo the symbolic pass: a
+    # postorder makes every supernode chain contiguous (parent[v-1]==v),
+    # which is what lets the relaxed amalgamation actually fuse nodes
+    # (SSIDS analyse does the same, src/ssids/anal.f90)
+    post = _etree_postorder(parent)
+    if not np.array_equal(post, np.arange(n)):
+        perm = perm[post]
+        iperm = np.zeros(n, np.int64)
+        iperm[perm] = np.arange(n)
+        Al = sp.tril(A[perm][:, perm]).tocsc()
+        parent, colcount, Lp, Li = symbolic_factor(
+            Al.indptr.astype(np.int64), Al.indices.astype(np.int32), n)
     snode, ns = supernode_partition(parent, colcount, relax_cols=relax_cols)
     snode = snode.astype(np.int64)
     sn_first = np.searchsorted(snode, np.arange(ns))
@@ -298,24 +350,44 @@ def flat_analyse(rows, cols, n, order: str = "amd",
             fr = np.concatenate(
                 [np.arange(sn_first[s], sn_end[s]), sn_struct[s]])
             frows[k, :len(fr)] = fr
-        # flatten this group's extend-add into exact 1-D index arrays:
-        # one gather + one scatter-add per group at numeric time
-        srcs, dsts = [], []
-        for o in ea_by_dst.get(gi, []):
-            cp = o["cpos"]
-            pp = o["ppos"]
-            srcs.append((o["sbase"] + cp[:, None] * o["fp_src"]
-                         + cp[None, :]).ravel())
-            dsts.append((o["dbase"] + pp[:, None] * o["fp_dst"]
-                         + pp[None, :]).ravel())
-        ea_src = (np.concatenate(srcs) if srcs
-                  else np.zeros(0, np.int64))
-        ea_dst = (np.concatenate(dsts) if dsts
-                  else np.zeros(0, np.int64))
+        # extend-add ops bucketed by (#children chunk, pow2 update
+        # width): per child only O(u) row/col offset vectors are stored
+        # — the (u, u) index blocks are composed transiently INSIDE the
+        # jitted kernel (storing them flat is O(sum u^2) = GBs at n~1e5)
+        ea_ops = []
+        ops = ea_by_dst.get(gi, [])
+        if ops:
+            ops.sort(key=lambda o: len(o["cpos"]))
+            by_u: dict = {}
+            for o in ops:
+                u = _p2(max(len(o["cpos"]), 1))
+                u = u if (u & 0x55555555) else u * 2   # pow4 ladder
+                by_u.setdefault(u, []).append(o)
+            for Um, olist in by_u.items():
+                # memory cap: the kernel composes (nc, Um, Um) index
+                # blocks transiently; bound nc * Um^2 (OOM guard)
+                cap = max(1, _EA_ELEMS // (Um * Um))
+                for coff, ch in _chunks_of(len(olist), cap_elems=cap):
+                    sub = olist[coff:coff + ch]
+                    nc = len(sub)
+                    srow = np.zeros((nc, Um), np.int64)
+                    scol = np.full((nc, Um), -1, np.int64)
+                    drow = np.zeros((nc, Um), np.int64)
+                    dcol = np.zeros((nc, Um), np.int64)
+                    for k2, o in enumerate(sub):
+                        u = len(o["cpos"])
+                        srow[k2, :u] = (o["sbase"]
+                                        + o["cpos"] * o["fp_src"])
+                        scol[k2, :u] = o["cpos"]
+                        drow[k2, :u] = (o["dbase"]
+                                        + o["ppos"] * o["fp_dst"])
+                        dcol[k2, :u] = o["ppos"]
+                    ea_ops.append(dict(srow=srow, scol=scol, drow=drow,
+                                       dcol=dcol, nc=nc, Um=Um))
         groups.append(FlatGroup(
             goff=goffs[gi], nb=nb, Fpad=fp, level=lv,
             ncols=nc_all[nd].astype(np.int64), frows=frows,
-            ea_src=ea_src, ea_dst=ea_dst))
+            ea=ea_ops))
 
     return FlatPlan(
         n=n, S=S, perm=perm, iperm=iperm, groups=groups,
@@ -360,30 +432,36 @@ def _device_plan(plan: FlatPlan):
         groups=[],
     )
     for g in plan.groups:
-        chunks = []
-        for off, ch in _chunks_of(g.nb, g.Fpad):
-            nco = g.ncols[off:off + ch]
-            chunks.append(dict(
-                goff=jnp.asarray(g.goff + off * g.Fpad * g.Fpad, i32),
-                ch=ch,
-                ncols=arr(nco),
-                nblocks=jnp.asarray(
-                    -(-int(nco.max(initial=0)) // _B_of(g.Fpad)), i32),
-                # sentinel row -> n (a zero-padded slot of y_pad)
-                frows=arr(np.where(g.frows[off:off + ch] < plan.n,
-                                   g.frows[off:off + ch], plan.n)),
-            ))
-        if len(g.ea_src):
-            Le = _size_pad(len(g.ea_src))
-            esrc = np.full(Le, S_pad, np.int64)   # OOB -> gather fills 0
-            esrc[:len(g.ea_src)] = g.ea_src
-            edst = np.full(Le, S_pad, np.int64)   # OOB -> scatter drops
-            edst[:len(g.ea_dst)] = g.ea_dst
-            ea = dict(src=arr(esrc), dst=arr(edst), L=Le)
-        else:
-            ea = None
-        dev["groups"].append(dict(chunks=chunks, ea=ea, Fpad=g.Fpad,
-                                  level=g.level))
+        def mk_chunks(cap_mult):
+            out = []
+            cap = max(1, cap_mult * _CHUNK_ELEMS // (g.Fpad * g.Fpad))
+            for off, ch in _chunks_of(g.nb, g.Fpad, cap_elems=cap):
+                nco = g.ncols[off:off + ch]
+                out.append(dict(
+                    goff=jnp.asarray(g.goff + off * g.Fpad * g.Fpad, i32),
+                    ch=ch,
+                    ncols=arr(nco),
+                    nblocks=jnp.asarray(
+                        -(-int(nco.max(initial=0)) // _B_of(g.Fpad)), i32),
+                    # sentinel row -> n (a zero-padded slot of y_pad)
+                    frows=arr(np.where(g.frows[off:off + ch] < plan.n,
+                                       g.frows[off:off + ch], plan.n)),
+                ))
+            return out
+
+        chunks = mk_chunks(1)
+        # solve sweeps only READ the slab; the chunk-size multiplier
+        # trades per-call slab traffic against dispatch count (measured
+        # on the tunnel: 1 is no slower than 4, so keep 1)
+        schunks = mk_chunks(1)
+        ea = []
+        for o in g.ea:
+            ea.append(dict(
+                srow=arr(o["srow"]), scol=arr(o["scol"]),
+                drow=arr(o["drow"]), dcol=arr(o["dcol"]),
+                nc=o["nc"], Um=o["Um"]))
+        dev["groups"].append(dict(chunks=chunks, schunks=schunks, ea=ea,
+                                  Fpad=g.Fpad, level=g.level))
     plan._dev = dev
     return dev
 
@@ -468,13 +546,21 @@ def _k_asm(L: int, S_pad: int, dt: str):
 
 
 @lru_cache(maxsize=None)
-def _k_ea2(L: int, S_pad: int, dt: str):
-    """Extend-add: store[dst] += store[src] with OOB sentinels (src
-    fills 0, dst drops); donates store."""
+def _k_ea2(nc: int, Um: int, S_pad: int, dt: str):
+    """Extend-add for a chunk of children: compose the (u, u) flat
+    index blocks from O(u) row/col offsets in-kernel (transient),
+    gather the child Schur blocks, scatter-add into the parents.
+    Padded entries carry scol == -1 -> OOB indices (gather fills 0,
+    scatter drops).  Donates store."""
     @partial(jax.jit, donate_argnums=0)
-    def k(store, src, dst):
-        G = store.at[src].get(mode="fill", fill_value=0.0)
-        return store.at[dst].add(G, mode="drop")
+    def k(store, srow, scol, drow, dcol):
+        valid = scol >= 0
+        sidx = jnp.where(valid[:, :, None] & valid[:, None, :],
+                         srow[:, :, None] + scol[:, None, :], S_pad)
+        didx = jnp.where(valid[:, :, None] & valid[:, None, :],
+                         drow[:, :, None] + dcol[:, None, :], S_pad)
+        G = store.at[sidx].get(mode="fill", fill_value=0.0)
+        return store.at[didx].add(G, mode="drop")
     return k
 
 
@@ -648,11 +734,12 @@ def warm_plan(plan: FlatPlan, dtype, nnz: int = 0, pool_size: int = 8):
                                jnp.zeros(n, i32)).block_until_ready()))
     for g in dev["groups"]:
         Fpad = g["Fpad"]
-        if g["ea"] is not None:
-            Le = g["ea"]["L"]
-            add(("ea", Le), lambda Le=Le: _k_ea2(Le, S_pad, dts)(
-                st0(), jnp.zeros(Le, i32),
-                jnp.zeros(Le, i32)).block_until_ready())
+        for o in g["ea"]:
+            def ea_task(nc=o["nc"], Um=o["Um"]):
+                z = jnp.zeros((nc, Um), i32)
+                _k_ea2(nc, Um, S_pad, dts)(
+                    st0(), z, z - 1, z, z).block_until_ready()
+            add(("ea", o["nc"], o["Um"]), ea_task)
         for c in g["chunks"]:
             CH = c["ch"]
 
@@ -660,6 +747,10 @@ def warm_plan(plan: FlatPlan, dtype, nnz: int = 0, pool_size: int = 8):
                 _k_factor(CH, Fpad, S_pad, dts)(
                     st0(), jnp.zeros((), i32), jnp.zeros(CH, i32),
                     jnp.asarray(1, i32))[1].block_until_ready()
+
+            add(("fac", CH, Fpad), fac_task)
+        for c in g["schunks"]:
+            CH = c["ch"]
 
             def slv_task(CH=CH, Fpad=Fpad):
                 st = jnp.zeros(S_pad, dt)
@@ -673,13 +764,32 @@ def warm_plan(plan: FlatPlan, dtype, nnz: int = 0, pool_size: int = 8):
                     st, y, jnp.zeros((), i32), nc, nb1,
                     fr).block_until_ready()
 
-            add(("fac", CH, Fpad), fac_task)
             add(("slv", CH, Fpad), slv_task)
 
+    import os as _os
+    import threading
+    import time as _time
+
+    verbose = _os.environ.get("GALAHAD_TPU_VERBOSE")
+    t0 = _time.perf_counter()
+    # every task allocates an S_pad-sized dummy store; cap the LIVE
+    # dummies so 8 concurrent warms cannot exhaust HBM (observed OOM at
+    # S_pad ~ 1.5 GB f64); compilation itself still overlaps because
+    # the semaphore is held only around the call
+    max_live = max(1, int(4e9 // max(S_pad * 8, 1)))
+    sem = threading.Semaphore(max_live)
+
+    def run_guarded(fn):
+        with sem:
+            fn()
+
     with ThreadPoolExecutor(max_workers=pool_size) as ex:
-        futs = [ex.submit(fn) for fn in tasks.values()]
+        futs = [ex.submit(run_guarded, fn) for fn in tasks.values()]
         for f in futs:
             f.result()
+    if verbose:
+        print(f"[galahad_tpu] warm_plan: {len(tasks)} kernel shapes in "
+              f"{_time.perf_counter() - t0:.1f}s", flush=True)
     return len(tasks)
 
 
@@ -729,9 +839,9 @@ def flat_factorize(plan: FlatPlan, vals, shift=0.0) -> FlatFactors:
     stats = []
     for g in dev["groups"]:
         Fpad = g["Fpad"]
-        if g["ea"] is not None:
-            store = _k_ea2(g["ea"]["L"], S_pad, dts)(
-                store, g["ea"]["src"], g["ea"]["dst"])
+        for o in g["ea"]:
+            store = _k_ea2(o["nc"], o["Um"], S_pad, dts)(
+                store, o["srow"], o["scol"], o["drow"], o["dcol"])
         for c in g["chunks"]:
             store, st4 = _k_factor(c["ch"], Fpad, S_pad, dts)(
                 store, c["goff"], c["ncols"], c["nblocks"])
@@ -764,11 +874,11 @@ def flat_solve(plan: FlatPlan, fac: FlatFactors, b):
         store = store.astype(dt)
     y = _k_yinit(plan.n, n_pad, dts)(b, dev["perm"])
     for g in dev["groups"]:
-        for c in g["chunks"]:
+        for c in g["schunks"]:
             y = _k_fwd(c["ch"], g["Fpad"], n_pad, S_pad, dts)(
                 store, y, c["goff"], c["ncols"], c["nblocks"], c["frows"])
     for g in reversed(dev["groups"]):
-        for c in g["chunks"]:
+        for c in g["schunks"]:
             y = _k_bwd(c["ch"], g["Fpad"], n_pad, S_pad, dts)(
                 store, y, c["goff"], c["ncols"], c["nblocks"], c["frows"])
     return _k_yout(plan.n, n_pad, dts)(y, dev["iperm"])

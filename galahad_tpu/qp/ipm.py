@@ -89,6 +89,14 @@ class IPMControl:
     clock_time_limit: float = -1.0  # wall seconds; < 0 = no limit (cqp.f90:311-317)
     infinity: float = INFINITY
     dtype: str = "float64"
+    endgame_f64: bool = True    # f32 sparse solves: when the dual
+                                # residual floors above stop_abs_d with
+                                # primal/comp already converged, fold the
+                                # double-word iterate into f64 and take a
+                                # few f64 'island' iterations (SURVEY
+                                # §7.1: 'f32 with f64 islands'; measured:
+                                # ONE island step closes a 5e-6 -> 1e-6
+                                # gap).  No-op when the backend lacks f64.
 
 
 @partial(
@@ -958,7 +966,9 @@ def _sp_pre(qp, masks, st, ctl):
 
 def _corr_terms(st, d_prev, affine):
     if affine:
-        z = jnp.zeros(())
+        # dtype-pinned: an untyped zeros(()) is a STRONG f64 scalar under
+        # x64 and silently promoted the whole f32 state to f64
+        z = jnp.zeros((), st.x.dtype)
         return dict(xl=z, xu=z, cl=z, cu=z)
     return dict(
         xl=d_prev["dz_l"] * d_prev["dx"],
@@ -1064,6 +1074,11 @@ def _sp_finish(qp, masks, st, ctl, d):
 def _sparse_ipm_step(qp, masks, st: IPMState, ctl: IPMControl) -> IPMState:
     """One Mehrotra predictor-corrector iteration with the KKT solves on
     the host flat path and the dense math in jitted segments."""
+    import os as _os
+    import time as _time
+
+    verbose = _os.environ.get("GALAHAD_TPU_VERBOSE")
+    t0 = _time.perf_counter()
     D_x, C_diag = _sp_pre(qp, masks, st, ctl)
     kkt_solve = qp.build_kkt(D_x, C_diag, ctl)
     dt = qp.g.dtype
@@ -1084,7 +1099,62 @@ def _sparse_ipm_step(qp, masks, st: IPMState, ctl: IPMControl) -> IPMState:
             d = _sp_recover(qp, masks, st, ctl, mu_t, d, dx, dy, False)
     else:
         d = aff
-    return _sp_finish(qp, masks, st, ctl, d)
+    out = _sp_finish(qp, masks, st, ctl, d)
+    if verbose:
+        out.res_p.block_until_ready()
+        print(f"[galahad_tpu] sparse step {int(st.iter)}: "
+              f"{_time.perf_counter() - t0:.1f}s", flush=True)
+    return out
+
+
+def _sparse_f64_island(qp, st: IPMState, ctl: IPMControl,
+                       extra_iters: int = 6) -> IPMState:
+    """Continue a stalled f32 sparse solve in f64 from the folded
+    double-word iterate (the 'f64 island' of SURVEY §7.1): the f32 KKT
+    solves floor the dual residual a few times above 1e-6; one or two
+    f64 iterations from an otherwise-converged point finish the job.
+    The symbolic KKT plan (pattern analysis, index maps) is REUSED —
+    only the numeric kernels recompile at f64."""
+    import jax as _jax
+
+    if not _jax.config.jax_enable_x64:
+        _jax.config.update("jax_enable_x64", True)
+    f8 = jnp.float64
+
+    def up(hi, lo=None):
+        v = jnp.asarray(hi, f8)
+        if lo is not None:
+            v = v + jnp.asarray(lo, f8)
+        return v
+
+    qp64 = dataclasses.replace(
+        qp, g=up(qp.g), f=float(qp.f),
+        c_l=up(qp.c_l), c_u=up(qp.c_u), x_l=up(qp.x_l), x_u=up(qp.x_u),
+        h_vals=up(qp.h_vals), a_vals=up(qp.a_vals),
+        x=None if qp.x is None else up(qp.x),
+        y=None if qp.y is None else up(qp.y),
+        z=None if qp.z is None else up(qp.z))
+    masks = classify_bounds(qp64, ctl.infinity)
+    zn = jnp.zeros(qp.n, f8)
+    zm = jnp.zeros(qp.m, f8)
+    st64 = dataclasses.replace(
+        st,
+        x=up(st.x, st.x_lo), c=up(st.c, st.c_lo), y=up(st.y, st.y_lo),
+        z_l=up(st.z_l, st.zl_lo), z_u=up(st.z_u, st.zu_lo),
+        y_l=up(st.y_l, st.yl_lo), y_u=up(st.y_u, st.yu_lo),
+        x_lo=zn, c_lo=zm, y_lo=zm, zl_lo=zn, zu_lo=zn,
+        yl_lo=zm, yu_lo=zm,
+        s_l=up(st.s_l), s_u=up(st.s_u), t_l=up(st.t_l), t_u=up(st.t_u),
+        mu=up(st.mu), res_p=up(st.res_p), res_d=up(st.res_d),
+        res_c=up(st.res_c), best_infeas=up(st.best_infeas),
+        halt=jnp.array(False), converged=jnp.array(False),
+        stall=jnp.array(0, jnp.int32))
+    ctl64 = dataclasses.replace(ctl, dtype="float64")
+    for _ in range(extra_iters):
+        st64 = _sparse_ipm_step(qp64, masks, st64, ctl64)
+        if bool(st64.halt):
+            break
+    return st64
 
 
 def ipm_solve(qp: QP, ctl: IPMControl = IPMControl()):
@@ -1126,6 +1196,9 @@ def ipm_solve(qp: QP, ctl: IPMControl = IPMControl()):
     prev_st = None
     best_st = None
     best_kkt = float("inf")
+    d_hist: list = []   # dual-stall detector for the f64 island
+    sparse_f32 = (getattr(qp, "h_kind", None) == "sparse"
+                  and qp.g.dtype == jnp.float32)
     for k in range(ctl.maxit):
         t0 = _time.perf_counter()
         prev_st = st
@@ -1153,6 +1226,16 @@ def ipm_solve(qp: QP, ctl: IPMControl = IPMControl()):
             best_st = st
         if bool(st.halt):
             break
+        # dual-stall: primal+comp done, dual floored by f32 solve
+        # accuracy and no longer improving -> stop burning f32
+        # iterations; the f64 island below finishes (SURVEY §7.1)
+        if (sparse_f32 and ctl.endgame_f64
+                and float(st.res_p) <= ctl.stop_abs_p
+                and float(st.res_c) <= ctl.stop_abs_c):
+            d_hist.append(float(st.res_d))
+            if (len(d_hist) >= 4
+                    and min(d_hist[-2:]) > 0.7 * min(d_hist[:-2])):
+                break
         if (ctl.clock_time_limit >= 0
                 and _time.perf_counter() - t_start > ctl.clock_time_limit):
             timed_out = True
@@ -1170,6 +1253,19 @@ def ipm_solve(qp: QP, ctl: IPMControl = IPMControl()):
         st = dataclasses.replace(
             best_st, iter=st.iter, halt=st.halt, status=st.status,
             converged=st.converged)
+    # --- f64 endgame island (sparse f32 path) --------------------------
+    # The f32 KKT solves floor the DUAL residual a few times above 1e-6
+    # once primal/complementarity are done; one or two f64 iterations
+    # from the folded double-word iterate close the gap (SURVEY §7.1).
+    if (ctl.endgame_f64 and not bool(st.converged)
+            and getattr(qp, "h_kind", None) == "sparse"
+            and qp.g.dtype == jnp.float32
+            and float(st.res_p) <= 10 * ctl.stop_abs_p
+            and float(st.res_c) <= 10 * ctl.stop_abs_c):
+        try:
+            st = _sparse_f64_island(qp, st, ctl, extra_iters=6)
+        except Exception:   # noqa: BLE001 — no f64 on this backend
+            pass
     x, y, z = extract_solution(qp, masks, st)
     b_stat, c_stat = ipm_indicators(qp, masks, st, ctl, prev=prev_st)
     iters = int(st.iter)
