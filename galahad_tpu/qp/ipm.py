@@ -721,13 +721,19 @@ def _apply_direction(qp, masks, st, ctl, d, a_p, a_d,
     rolled = jax.tree_util.tree_map(
         lambda prev_leaf, new_leaf: jnp.where(bad, prev_leaf, new_leaf),
         st, out)
+    # a blow-up while the primal infeasibility is still LARGE is the
+    # classic infeasibility certificate (diverging duals), not a
+    # numerical accident: diagnose -5, else -12 (symbols.f90 registry)
+    far = jnp.isfinite(st.best_infeas) \
+        & (st.best_infeas > jnp.maximum(1e3 * ctl.stop_abs_p, 1e-3))
+    bad_status = jnp.where(far, int(Status.PRIMAL_INFEASIBLE),
+                           int(Status.ILL_CONDITIONED))
     return dataclasses.replace(
         rolled,
         iter=out.iter,
         halt=jnp.where(bad, True, out.halt),
         converged=jnp.where(bad, st.converged, out.converged),
-        status=jnp.where(bad, int(Status.ILL_CONDITIONED),
-                         out.status).astype(jnp.int32),
+        status=jnp.where(bad, bad_status, out.status).astype(jnp.int32),
     )
 
 

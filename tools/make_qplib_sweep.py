@@ -110,7 +110,10 @@ def build_all():
     ps.append(problem("QPDIAG", "QML", n, m, h, rng.normal(size=n), a,
                       np.full(m, -1.0), np.full(m, 1.0),
                       np.full(n, -5.0), np.full(n, 5.0)))
-    # ill-conditioned H (6 decades of curvature spread)
+    # ill-conditioned H (6 decades of curvature spread).  NOTE: this
+    # instance is INFEASIBLE by construction (verified with an exact LP
+    # feasibility solve): the expected status is -5, testing the
+    # infeasibility-detection path.
     rng = np.random.default_rng(9)
     n, m = 200, 80
     h = (np.arange(n), np.arange(n),
