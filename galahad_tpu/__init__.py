@@ -25,15 +25,20 @@ if not _os.environ.get("GALAHAD_TPU_NO_COMPILE_CACHE"):
             # (network home) loads foreign-feature code and can SIGILL
             # (observed: cpu_aot_loader '+prefer-no-scatter not
             # supported on the host machine').
-            import platform as _platform
+            # platform.node() is "vm" on several machines here;
+            # /etc/machine-id actually distinguishes them
+            try:
+                with open("/etc/machine-id") as _fh:
+                    _hk = _fh.read().strip()[:12]
+            except OSError:
+                import platform as _platform
 
+                _hk = f"{_platform.node()}-{_platform.machine()}"
             _jax.config.update(
                 "jax_compilation_cache_dir",
                 _os.environ.get(
                     "JAX_COMPILATION_CACHE_DIR",
-                    _os.path.expanduser(
-                        "~/.cache/galahad_tpu/jax-"
-                        f"{_platform.node()}-{_platform.machine()}"),
+                    _os.path.expanduser(f"~/.cache/galahad_tpu/jax-{_hk}"),
                 ),
             )
         # eager scatter/gather ops cost ~0.3-1 s EACH to compile and the

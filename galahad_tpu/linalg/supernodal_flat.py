@@ -454,14 +454,40 @@ def _device_plan(plan: FlatPlan):
         # trades per-call slab traffic against dispatch count (measured
         # on the tunnel: 1 is no slower than 4, so keep 1)
         schunks = mk_chunks(1)
+
+        def pack(cs):
+            """Fuse runs of same-shape chunks into scan packs of
+            _SCAN_K (one dispatch each); leftovers stay single.  Pads
+            are exact no-ops (ncols = 0, nblocks = 0, sentinel rows)."""
+            by_ch: dict = {}
+            for c in cs:
+                by_ch.setdefault(c["ch"], []).append(c)
+            packs, singles = [], []
+            for ch, group_cs in by_ch.items():
+                while len(group_cs) >= _SCAN_K:
+                    sub, group_cs = group_cs[:_SCAN_K], group_cs[_SCAN_K:]
+                    packs.append(dict(
+                        ch=ch,
+                        goffs=jnp.stack([c["goff"] for c in sub]),
+                        ncols=jnp.stack([c["ncols"] for c in sub]),
+                        nblocks=jnp.stack([c["nblocks"] for c in sub]),
+                        frows=jnp.stack([c["frows"] for c in sub]),
+                    ))
+                singles.extend(group_cs)
+            return packs, singles
+
+        fpacks, fsingles = pack(chunks)
+        spacks, ssingles = pack(schunks)
         ea = []
         for o in g.ea:
             ea.append(dict(
                 srow=arr(o["srow"]), scol=arr(o["scol"]),
                 drow=arr(o["drow"]), dcol=arr(o["dcol"]),
                 nc=o["nc"], Um=o["Um"]))
-        dev["groups"].append(dict(chunks=chunks, schunks=schunks, ea=ea,
-                                  Fpad=g.Fpad, level=g.level))
+        dev["groups"].append(dict(chunks=chunks, schunks=schunks,
+                                  fpacks=fpacks, fsingles=fsingles,
+                                  spacks=spacks, ssingles=ssingles,
+                                  ea=ea, Fpad=g.Fpad, level=g.level))
     plan._dev = dev
     return dev
 
@@ -582,49 +608,145 @@ def _k_factor(CH: int, Fpad: int, S_pad: int, dt: str):
     return k
 
 
+
+_SCAN_K = 8          # chunks fused per scan dispatch (tunnel ~ms/call)
+
+
+@lru_cache(maxsize=None)
+def _k_factor_scan(CH: int, Fpad: int, S_pad: int, dt: str):
+    """Factor _SCAN_K chunks of one group in a single dispatch via
+    lax.scan (chunks of a group are independent; scan just sequences
+    them inside one program).  Padding entries carry nblocks == 0 and
+    ncols == 0: exact no-ops."""
+    B = _B_of(Fpad)
+
+    @partial(jax.jit, donate_argnums=0)
+    def k(store, goffs, ncols, nblocks):
+        def body(store, xs):
+            goff, nc, nb = xs
+            F = lax.dynamic_slice(
+                store, (goff,), (CH * Fpad * Fpad,)).reshape(CH, Fpad, Fpad)
+            F, dmin, npos, nneg, nzero = _partial_ldlt_dyn(F, nc, nb, B)
+            store = lax.dynamic_update_slice(store, F.reshape(-1), (goff,))
+            return store, jnp.stack([dmin, npos.astype(F.dtype),
+                                     nneg.astype(F.dtype),
+                                     nzero.astype(F.dtype)])
+
+        store, st4 = lax.scan(body, store, (goffs, ncols, nblocks))
+        return store, st4
+    return k
+
+
+@lru_cache(maxsize=None)
+def _k_fwd_scan(CH: int, Fpad: int, n_pad: int, S_pad: int, dt: str):
+    B = _B_of(Fpad)
+
+    @partial(jax.jit, donate_argnums=1)
+    def k(store, y, goffs, ncols, nblocks, frows):
+        def body(y, xs):
+            goff, nc, nb, fr = xs
+            return _fwd_one(store, y, goff, nc, nb, fr,
+                            CH, Fpad, B, n_pad, dt), None
+
+        y, _ = lax.scan(body, y, (goffs, ncols, nblocks, frows))
+        return y
+    return k
+
+
+@lru_cache(maxsize=None)
+def _k_bwd_scan(CH: int, Fpad: int, n_pad: int, S_pad: int, dt: str):
+    B = _B_of(Fpad)
+
+    @partial(jax.jit, donate_argnums=1)
+    def k(store, y, goffs, ncols, nblocks, frows):
+        def body(y, xs):
+            goff, nc, nb, fr = xs
+            return _bwd_one(store, y, goff, nc, nb, fr,
+                            CH, Fpad, B, n_pad, dt), None
+
+        y, _ = lax.scan(body, y, (goffs, ncols, nblocks, frows))
+        return y
+    return k
+
+
+def _fwd_one(store, y, goff, ncols, nblocks, frows,
+             CH, Fpad, B, n_pad, dt):
+    """Forward sweep + diagonal scale for one chunk: slab slice + RHS
+    gather/scatter against the n_pad-laddered y (sentinel rows point at
+    zero pad slots)."""
+    F = lax.dynamic_slice(
+        store, (goff,), (CH * Fpad * Fpad,)).reshape(CH, Fpad, Fpad)
+    ii = jnp.arange(Fpad)
+    elim = ii[None, :] < ncols[:, None]
+    Ls = jnp.where(elim[:, None, :], F, 0.0)
+    tiny = jnp.asarray(np.finfo(np.dtype(dt)).tiny * 16, F.dtype)
+    dvec = jnp.diagonal(F, axis1=1, axis2=2)
+    dsafe = jnp.where(elim & (jnp.abs(dvec) > tiny), dvec, 1.0)
+    yF = y[frows]
+    yF0 = yF
+
+    def fwd_block(bi, yF):
+        bs = (bi * B).astype(jnp.int32)
+        z0 = jnp.zeros((), jnp.int32)
+        L11 = lax.dynamic_slice(Ls, (z0, bs, bs), (CH, B, B))
+        y1 = lax.dynamic_slice(yF, (z0, bs), (CH, B))
+        y1 = lax.linalg.triangular_solve(
+            L11, y1[..., None], left_side=True, lower=True,
+            unit_diagonal=True)[..., 0]
+        panel = lax.dynamic_slice(Ls, (z0, z0, bs), (CH, Fpad, B))
+        upd = (panel @ y1[..., None])[..., 0]
+        below = jnp.arange(Fpad)[None, :] >= bs + B
+        yF = jnp.where(below, yF - upd, yF)
+        return lax.dynamic_update_slice(yF, y1, (z0, bs))
+
+    yF = lax.fori_loop(0, nblocks, fwd_block, yF)
+    yF = jnp.where(elim, yF / dsafe, yF)
+    # struct rows accumulate the update; eliminated rows are final;
+    # sentinel rows write into the zero pad area (sliced off later)
+    y = y.at[frows].add(jnp.where(elim, 0.0, yF - yF0))
+    y = y.at[jnp.where(elim, frows, n_pad)].set(
+        jnp.where(elim, yF, 0.0), mode="drop")
+    return y
+
+
 @lru_cache(maxsize=None)
 def _k_fwd(CH: int, Fpad: int, n_pad: int, S_pad: int, dt: str):
-    """Forward sweep + diagonal scale for one chunk, fused with the
-    chunk slab slice and the RHS gather/scatter (y padded to the n_pad
-    ladder; sentinel rows point at zero pad slots).  Donates y."""
     B = _B_of(Fpad)
 
     @partial(jax.jit, donate_argnums=1)
     def k(store, y, goff, ncols, nblocks, frows):
-        F = lax.dynamic_slice(
-            store, (goff,), (CH * Fpad * Fpad,)).reshape(CH, Fpad, Fpad)
-        ii = jnp.arange(Fpad)
-        elim = ii[None, :] < ncols[:, None]
-        Ls = jnp.where(elim[:, None, :], F, 0.0)
-        tiny = jnp.asarray(np.finfo(np.dtype(dt)).tiny * 16, F.dtype)
-        dvec = jnp.diagonal(F, axis1=1, axis2=2)
-        dsafe = jnp.where(elim & (jnp.abs(dvec) > tiny), dvec, 1.0)
-        yF = y[frows]
-        yF0 = yF
-
-        def fwd_block(bi, yF):
-            bs = (bi * B).astype(jnp.int32)
-            z0 = jnp.zeros((), jnp.int32)
-            L11 = lax.dynamic_slice(Ls, (z0, bs, bs), (CH, B, B))
-            y1 = lax.dynamic_slice(yF, (z0, bs), (CH, B))
-            y1 = lax.linalg.triangular_solve(
-                L11, y1[..., None], left_side=True, lower=True,
-                unit_diagonal=True)[..., 0]
-            panel = lax.dynamic_slice(Ls, (z0, z0, bs), (CH, Fpad, B))
-            upd = (panel @ y1[..., None])[..., 0]
-            below = jnp.arange(Fpad)[None, :] >= bs + B
-            yF = jnp.where(below, yF - upd, yF)
-            return lax.dynamic_update_slice(yF, y1, (z0, bs))
-
-        yF = lax.fori_loop(0, nblocks, fwd_block, yF)
-        yF = jnp.where(elim, yF / dsafe, yF)
-        # struct rows accumulate the update; eliminated rows are final;
-        # sentinel rows write into the zero pad area (sliced off later)
-        y = y.at[frows].add(jnp.where(elim, 0.0, yF - yF0))
-        y = y.at[jnp.where(elim, frows, n_pad)].set(
-            jnp.where(elim, yF, 0.0), mode="drop")
-        return y
+        return _fwd_one(store, y, goff, ncols, nblocks, frows,
+                        CH, Fpad, B, n_pad, dt)
     return k
+
+
+def _bwd_one(store, y, goff, ncols, nblocks, frows,
+             CH, Fpad, B, n_pad, dt):
+    F = lax.dynamic_slice(
+        store, (goff,), (CH * Fpad * Fpad,)).reshape(CH, Fpad, Fpad)
+    ii = jnp.arange(Fpad)
+    elim = ii[None, :] < ncols[:, None]
+    Ls = jnp.where(elim[:, None, :], F, 0.0)
+    yF = y[frows]
+
+    def bwd_block(k2, yF):
+        bs = ((nblocks - 1 - k2) * B).astype(jnp.int32)
+        z0 = jnp.zeros((), jnp.int32)
+        panel = lax.dynamic_slice(Ls, (z0, z0, bs), (CH, Fpad, B))
+        below = jnp.arange(Fpad)[None, :, None] >= bs + B
+        panel_b = jnp.where(below, panel, 0.0)
+        rhs = (lax.dynamic_slice(yF, (z0, bs), (CH, B))
+               - (jnp.swapaxes(panel_b, -1, -2) @ yF[..., None])[..., 0])
+        L11 = lax.dynamic_slice(Ls, (z0, bs, bs), (CH, B, B))
+        x1 = lax.linalg.triangular_solve(
+            L11, rhs[..., None], left_side=True, lower=True,
+            transpose_a=True, unit_diagonal=True)[..., 0]
+        return lax.dynamic_update_slice(yF, x1, (z0, bs))
+
+    yF = lax.fori_loop(0, nblocks, bwd_block, yF)
+    y = y.at[jnp.where(elim, frows, n_pad)].set(
+        jnp.where(elim, yF, 0.0), mode="drop")
+    return y
 
 
 @lru_cache(maxsize=None)
@@ -633,31 +755,8 @@ def _k_bwd(CH: int, Fpad: int, n_pad: int, S_pad: int, dt: str):
 
     @partial(jax.jit, donate_argnums=1)
     def k(store, y, goff, ncols, nblocks, frows):
-        F = lax.dynamic_slice(
-            store, (goff,), (CH * Fpad * Fpad,)).reshape(CH, Fpad, Fpad)
-        ii = jnp.arange(Fpad)
-        elim = ii[None, :] < ncols[:, None]
-        Ls = jnp.where(elim[:, None, :], F, 0.0)
-        yF = y[frows]
-
-        def bwd_block(k2, yF):
-            bs = ((nblocks - 1 - k2) * B).astype(jnp.int32)
-            z0 = jnp.zeros((), jnp.int32)
-            panel = lax.dynamic_slice(Ls, (z0, z0, bs), (CH, Fpad, B))
-            below = jnp.arange(Fpad)[None, :, None] >= bs + B
-            panel_b = jnp.where(below, panel, 0.0)
-            rhs = (lax.dynamic_slice(yF, (z0, bs), (CH, B))
-                   - (jnp.swapaxes(panel_b, -1, -2) @ yF[..., None])[..., 0])
-            L11 = lax.dynamic_slice(Ls, (z0, bs, bs), (CH, B, B))
-            x1 = lax.linalg.triangular_solve(
-                L11, rhs[..., None], left_side=True, lower=True,
-                transpose_a=True, unit_diagonal=True)[..., 0]
-            return lax.dynamic_update_slice(yF, x1, (z0, bs))
-
-        yF = lax.fori_loop(0, nblocks, bwd_block, yF)
-        y = y.at[jnp.where(elim, frows, n_pad)].set(
-            jnp.where(elim, yF, 0.0), mode="drop")
-        return y
+        return _bwd_one(store, y, goff, ncols, nblocks, frows,
+                        CH, Fpad, B, n_pad, dt)
     return k
 
 
@@ -749,6 +848,25 @@ def warm_plan(plan: FlatPlan, dtype, nnz: int = 0, pool_size: int = 8):
                     jnp.asarray(1, i32))[1].block_until_ready()
 
             add(("fac", CH, Fpad), fac_task)
+        for pk in g["fpacks"]:
+            def facs_task(CH=pk["ch"], Fpad=Fpad):
+                _k_factor_scan(CH, Fpad, S_pad, dts)(
+                    st0(), jnp.zeros(_SCAN_K, i32),
+                    jnp.zeros((_SCAN_K, CH), i32),
+                    jnp.zeros(_SCAN_K, i32))[1].block_until_ready()
+            add(("facs", pk["ch"], Fpad), facs_task)
+        for pk in g["spacks"]:
+            def slvs_task(CH=pk["ch"], Fpad=Fpad):
+                st = jnp.zeros(S_pad, dt)
+                fr = jnp.zeros((_SCAN_K, CH, Fpad), i32)
+                nc = jnp.zeros((_SCAN_K, CH), i32)
+                nb = jnp.zeros(_SCAN_K, i32)
+                go = jnp.zeros(_SCAN_K, i32)
+                y2 = _k_fwd_scan(CH, Fpad, n_pad, S_pad, dts)(
+                    st, jnp.zeros(n_pad, dt), go, nc, nb, fr)
+                _k_bwd_scan(CH, Fpad, n_pad, S_pad, dts)(
+                    st, y2, go, nc, nb, fr).block_until_ready()
+            add(("slvs", pk["ch"], Fpad), slvs_task)
         for c in g["schunks"]:
             CH = c["ch"]
 
@@ -842,12 +960,16 @@ def flat_factorize(plan: FlatPlan, vals, shift=0.0) -> FlatFactors:
         for o in g["ea"]:
             store = _k_ea2(o["nc"], o["Um"], S_pad, dts)(
                 store, o["srow"], o["scol"], o["drow"], o["dcol"])
-        for c in g["chunks"]:
+        for pk in g["fpacks"]:
+            store, st4 = _k_factor_scan(pk["ch"], Fpad, S_pad, dts)(
+                store, pk["goffs"], pk["ncols"], pk["nblocks"])
+            stats.append(st4)                      # (_SCAN_K, 4)
+        for c in g["fsingles"]:
             store, st4 = _k_factor(c["ch"], Fpad, S_pad, dts)(
                 store, c["goff"], c["ncols"], c["nblocks"])
-            stats.append(st4)
+            stats.append(st4[None, :])
     if stats:
-        st4 = jnp.stack(stats)
+        st4 = jnp.concatenate(stats, axis=0)
         dmin = jnp.min(st4[:, 0])
         inertia = jnp.stack([
             jnp.sum(st4[:, 1]).astype(jnp.int32),
@@ -874,11 +996,19 @@ def flat_solve(plan: FlatPlan, fac: FlatFactors, b):
         store = store.astype(dt)
     y = _k_yinit(plan.n, n_pad, dts)(b, dev["perm"])
     for g in dev["groups"]:
-        for c in g["schunks"]:
+        for pk in g["spacks"]:
+            y = _k_fwd_scan(pk["ch"], g["Fpad"], n_pad, S_pad, dts)(
+                store, y, pk["goffs"], pk["ncols"], pk["nblocks"],
+                pk["frows"])
+        for c in g["ssingles"]:
             y = _k_fwd(c["ch"], g["Fpad"], n_pad, S_pad, dts)(
                 store, y, c["goff"], c["ncols"], c["nblocks"], c["frows"])
     for g in reversed(dev["groups"]):
-        for c in g["schunks"]:
+        for c in g["ssingles"]:
             y = _k_bwd(c["ch"], g["Fpad"], n_pad, S_pad, dts)(
                 store, y, c["goff"], c["ncols"], c["nblocks"], c["frows"])
+        for pk in g["spacks"]:
+            y = _k_bwd_scan(pk["ch"], g["Fpad"], n_pad, S_pad, dts)(
+                store, y, pk["goffs"], pk["ncols"], pk["nblocks"],
+                pk["frows"])
     return _k_yout(plan.n, n_pad, dts)(y, dev["iperm"])

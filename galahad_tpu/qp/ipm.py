@@ -763,6 +763,34 @@ def _step_lengths(masks, s_l, s_u, t_l, t_u, st, d, tau, dt,
         _fraction_to_boundary(s_l, d["dx"], ml_x, tau, dt),
         _fraction_to_boundary(s_u, -d["dx"], mu_x, tau, dt),
     )
+    # Dual-growth cap: the plain predictor-corrector has no central-path
+    # neighborhood (the reference's gamma_f test, cqp.f90:4190-4229), so
+    # a near-degenerate KKT solve can propose dual steps orders of
+    # magnitude beyond the current duals and the dual residual explodes
+    # (observed: d-res oscillating 1e-2 <-> 1e+7 on a mixed-bound QP).
+    # Cap the dual step so the dual iterate grows at most ~10x per
+    # iteration — inactive on healthy steps.
+    dual_now = jnp.maximum(
+        jnp.max(jnp.where(ml_x, jnp.abs(st.z_l), 0.0), initial=0.0),
+        jnp.max(jnp.where(mu_x, jnp.abs(st.z_u), 0.0), initial=0.0))
+    step_max = jnp.maximum(
+        jnp.max(jnp.where(ml_x, jnp.abs(d["dz_l"]), 0.0), initial=0.0),
+        jnp.max(jnp.where(mu_x, jnp.abs(d["dz_u"]), 0.0), initial=0.0))
+    if st.c.shape[-1] > 0:
+        dual_now = jnp.maximum(
+            dual_now,
+            jnp.maximum(
+                jnp.max(jnp.where(ml_c, jnp.abs(st.y_l), 0.0), initial=0.0),
+                jnp.max(jnp.where(mu_c, jnp.abs(st.y_u), 0.0),
+                        initial=0.0)))
+        step_max = jnp.maximum(
+            step_max,
+            jnp.maximum(
+                jnp.max(jnp.where(ml_c, jnp.abs(d["dy_l"]), 0.0),
+                        initial=0.0),
+                jnp.max(jnp.where(mu_c, jnp.abs(d["dy_u"]), 0.0),
+                        initial=0.0)))
+    a_cap = 10.0 * (dual_now + 1.0) / jnp.maximum(step_max, 1e-30)
     if st.c.shape[-1] > 0:
         a_p = jnp.minimum(
             a_p,
@@ -783,6 +811,7 @@ def _step_lengths(masks, s_l, s_u, t_l, t_u, st, d, tau, dt,
                 _fraction_to_boundary(st.y_u, d["dy_u"], mu_c, tau, dt),
             ),
         )
+    a_d = jnp.minimum(a_d, a_cap.astype(dt))
     return a_p, a_d
 
 

@@ -27,8 +27,12 @@ import platform  # noqa: E402
 # Concurrent pytest processes racing writes to one cache dir have also
 # been observed to segfault in put_executable_and_time: give any
 # parallel runner its own dir via GALAHAD_TPU_JAX_CACHE.
+try:
+    with open("/etc/machine-id") as _fh:
+        _hk = _fh.read().strip()[:12]
+except OSError:
+    _hk = f"{platform.node()}-{platform.machine()}"
 _cache = os.environ.get(
-    "GALAHAD_TPU_JAX_CACHE",
-    f"/root/repo/.jax_cache/{platform.node()}-{platform.machine()}")
+    "GALAHAD_TPU_JAX_CACHE", f"/root/repo/.jax_cache/{_hk}")
 jax.config.update("jax_compilation_cache_dir", _cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
