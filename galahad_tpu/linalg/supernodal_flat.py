@@ -90,7 +90,7 @@ def _size_pad(x: int) -> int:
         return 256
     p = 1 << (int(x) - 1).bit_length()      # next pow2 >= x
     for st in _SIZE_LADDER_STEPS:
-        v = int(p // 2 * st * 2)
+        v = int(p // 2 * st)                # candidates in [p/2, p)
         if v >= x:
             return v
     return p

@@ -539,20 +539,42 @@ def presolve_restore(tr: PresolveTransform, x_r, y_r, z_r):
     # merged duplicate rows: move the multiplier to whichever ORIGINAL
     # row's bound is actually attained (complementarity on the original
     # problem; the constraint rows are parallel so stationarity is
-    # preserved by y_k = y_i / s)
+    # preserved by y_k = y_i / s).  Candidates are the kept row AND all
+    # duplicates merged into it; the winner is the row with the smallest
+    # NORMALIZED gap to its sign-consistent bound (y > 0 <-> lower bound
+    # active), which needs no absolute tolerance and so cannot misfire
+    # on f32-accuracy iterates (advisor r4 finding).  Groups sharing a
+    # kept row are processed together, in reverse merge order so chained
+    # merges (k -> i -> i2) propagate the multiplier outward.
     if getattr(tr, "merged_rows", None):
         Ax = tr.A @ x if tr.m else np.zeros(0)
+        groups: dict = {}
+        order = []
         for i, k, sc in tr.merged_rows:
+            if i not in groups:
+                groups[i] = []
+                order.append(i)
+            groups[i].append((k, sc))
+
+        def gap(row, ax_row, y_row):
+            """Normalized distance from ax_row to the bound on the side
+            complementarity pairs with sign(y_row)."""
+            b = tr.c_l0[row] if y_row > 0 else tr.c_u0[row]
+            if abs(b) >= tr.infinity:
+                return np.inf
+            return abs(ax_row - b) / (1.0 + abs(ax_row))
+
+        for i in reversed(order):
             yi = y[i]
             if yi == 0.0:
                 continue
-            tol = 1e-7 * (1.0 + abs(Ax[i]))
-            on_i = ((tr.c_l0[i] > -tr.infinity
-                     and abs(Ax[i] - tr.c_l0[i]) <= tol)
-                    or (tr.c_u0[i] < tr.infinity
-                        and abs(Ax[i] - tr.c_u0[i]) <= tol))
-            if not on_i:
-                y[k] += yi / sc
+            best_row, best_sc, best_gap = i, 1.0, gap(i, Ax[i], yi)
+            for k, sc in groups[i]:
+                gk = gap(k, sc * Ax[i], yi / sc)
+                if gk < best_gap:
+                    best_row, best_sc, best_gap = k, sc, gk
+            if best_row != i:
+                y[best_row] += yi / best_sc
                 y[i] = 0.0
 
     # stationarity dual for eliminated variables

@@ -1142,6 +1142,29 @@ def _sparse_ipm_step(qp, masks, st: IPMState, ctl: IPMControl) -> IPMState:
     return out
 
 
+_F64_PROBE: list = []
+
+
+def _backend_supports_f64() -> bool:
+    """One-time probe: can the default backend execute a float64 op?"""
+    if not _F64_PROBE:
+        import jax as _jax
+
+        prev = bool(_jax.config.jax_enable_x64)
+        try:
+            if not prev:
+                _jax.config.update("jax_enable_x64", True)
+            v = (jnp.zeros((), jnp.float64) + 1.0)
+            v.block_until_ready()
+            _F64_PROBE.append(bool(v.dtype == jnp.float64))
+        except Exception:   # noqa: BLE001 — backend capability probe
+            _F64_PROBE.append(False)
+        finally:
+            if not prev:
+                _jax.config.update("jax_enable_x64", False)
+    return _F64_PROBE[0]
+
+
 def _sparse_f64_island(qp, st: IPMState, ctl: IPMControl,
                        extra_iters: int = 6) -> IPMState:
     """Continue a stalled f32 sparse solve in f64 from the folded
@@ -1152,8 +1175,22 @@ def _sparse_f64_island(qp, st: IPMState, ctl: IPMControl,
     only the numeric kernels recompile at f64."""
     import jax as _jax
 
-    if not _jax.config.jax_enable_x64:
+    # scope the x64 flag to the island: flipping it process-wide would
+    # silently change dtype semantics of subsequent f32 work (advisor
+    # r4); existing f64 arrays in the returned state keep their dtype
+    # after restore, so the caller's extraction still sees f64
+    _prev_x64 = bool(_jax.config.jax_enable_x64)
+    if not _prev_x64:
         _jax.config.update("jax_enable_x64", True)
+    try:
+        return _sparse_f64_island_body(qp, st, ctl, extra_iters)
+    finally:
+        if not _prev_x64:
+            _jax.config.update("jax_enable_x64", False)
+
+
+def _sparse_f64_island_body(qp, st: IPMState, ctl: IPMControl,
+                            extra_iters: int) -> IPMState:
     f8 = jnp.float64
 
     def up(hi, lo=None):
@@ -1297,10 +1334,17 @@ def ipm_solve(qp: QP, ctl: IPMControl = IPMControl()):
             and qp.g.dtype == jnp.float32
             and float(st.res_p) <= 10 * ctl.stop_abs_p
             and float(st.res_c) <= 10 * ctl.stop_abs_c):
-        try:
+        # probe f64 support once instead of swallowing island failures
+        # wholesale (advisor r4: a blanket except hid real bugs)
+        if _backend_supports_f64():
             st = _sparse_f64_island(qp, st, ctl, extra_iters=6)
-        except Exception:   # noqa: BLE001 — no f64 on this backend
-            pass
+        else:
+            import warnings
+
+            warnings.warn(
+                "f64 endgame island skipped: backend has no float64 "
+                "support; dual residual may floor above stop_abs_d",
+                RuntimeWarning, stacklevel=2)
     x, y, z = extract_solution(qp, masks, st)
     b_stat, c_stat = ipm_indicators(qp, masks, st, ctl, prev=prev_st)
     iters = int(st.iter)

@@ -178,3 +178,40 @@ def test_dominated_columns_and_duplicate_rows():
     # restored duals respect the original bound signs
     atol = 1e-8
     assert np.all(z[np.asarray(qp.x_l) <= -INFINITY] <= atol + np.inf)
+
+
+def test_duplicate_rows_multiplier_on_binding_duplicate():
+    """Advisor r4 (high): with >= 3 mutually parallel rows whose
+    TIGHTEST bound comes from a later duplicate, the restored multiplier
+    must sit on the row whose own bound is attained — not blindly on the
+    first dropped duplicate.  Rows [a; 2a; 3a] with upper bounds
+    10/18/24: the binding constraint is 3(x0+x1) <= 24."""
+    n, m = 2, 3
+    H = np.eye(n) * 0.1
+    g = np.array([-1.0, -1.0])
+    A = np.array([[1.0, 1.0],
+                  [2.0, 2.0],
+                  [3.0, 3.0]])
+    c_l = np.array([-INF, -INF, -INF])
+    c_u = np.array([10.0, 18.0, 24.0])   # tightest: row2 (sum <= 8)
+    x_l = np.zeros(n)
+    x_u = np.full(n, 20.0)
+    qp = QP(H=jnp.asarray(H), g=jnp.asarray(g), A=jnp.asarray(A),
+            c_l=jnp.asarray(c_l), c_u=jnp.asarray(c_u),
+            x_l=jnp.asarray(x_l), x_u=jnp.asarray(x_u))
+    red, tr = presolve_reduce(qp)
+    assert len(tr.merged_rows) == 2
+    x_r, y_r, z_r, st = ipm_solve(red)
+    assert bool(st.converged)
+    x, y, z = presolve_restore(tr, x_r, y_r, z_r)
+    # binding row: 3(x0+x1) = 24 -> x0+x1 = 8; both duplicates slack
+    assert abs(x[0] + x[1] - 8.0) <= 1e-5
+    # the multiplier must live on row 2 (its bound is attained); the
+    # slack rows carry ~0 (original-problem complementarity)
+    assert abs(y[0]) <= 1e-6 and abs(y[1]) <= 1e-6, y
+    assert y[2] != 0.0
+    rp, rd, rc = kkt_residuals(qp, jnp.asarray(x), jnp.asarray(y),
+                               jnp.asarray(z))
+    assert float(rp) <= 1e-6, float(rp)
+    assert float(rd) <= 1e-6, float(rd)
+    assert float(rc) <= 1e-5, float(rc)

@@ -194,3 +194,38 @@ class TestF32Flagship:
         # init = "never evaluated"), never NaN; x is finite data
         assert not bool(np.isnan(np.asarray(st.res_p)))
         assert bool(np.all(np.isfinite(np.asarray(st.x))))
+
+
+def test_f64_island_restores_x64_flag():
+    """Advisor r4 / VERDICT r4 item 10: the f64 endgame island must not
+    flip jax_enable_x64 process-wide — an f32 computation AFTER an
+    island run keeps f32 semantics."""
+    import jax
+
+    from galahad_tpu.core.problem import classify_bounds
+    from galahad_tpu.qp.ipm import _sparse_f64_island, ipm_init
+
+    rng = np.random.default_rng(3)
+    n, m = 16, 8
+    ii = jj = np.arange(n)
+    vv = np.full(n, 2.0)
+    ar = np.repeat(np.arange(m), 2)
+    ac = np.stack([np.arange(m), np.arange(m) + n - m]).T.reshape(-1)
+    av = rng.uniform(0.5, 1.5, 2 * m)
+    prev = bool(jax.config.jax_enable_x64)
+    jax.config.update("jax_enable_x64", False)
+    try:
+        sqp = make_sparse_qp(
+            n, m, h_coo=(ii, jj, vv), a_coo=(ar, ac, av),
+            g=rng.normal(size=n), c_l=np.full(m, 1.0),
+            c_u=np.full(m, 1e20), x_l=np.zeros(n), x_u=np.full(n, 2.0),
+            dtype="float32")
+        ctl = IPMControl(dtype="float32")
+        masks = classify_bounds(sqp, ctl.infinity)
+        st = ipm_init(sqp, masks, ctl)
+        st64 = _sparse_f64_island(sqp, st, ctl, extra_iters=2)
+        assert st64.x.dtype == jnp.float64          # island ran in f64
+        assert not jax.config.jax_enable_x64        # flag restored
+        assert jnp.zeros(3).dtype == jnp.float32    # f32 semantics kept
+    finally:
+        jax.config.update("jax_enable_x64", prev)
