@@ -1244,13 +1244,19 @@ def ipm_solve(qp: QP, ctl: IPMControl = IPMControl()):
     masks = classify_bounds(qp, ctl.infinity)
     st = ipm_init(qp, masks, ctl)
     qp = dataclasses.replace(qp, name="")   # avoid per-name recompilation
-    # Sparse problems run the step EAGERLY: the supernodal KKT path is
-    # host-orchestrated over shape-cached kernels (supernodal_flat), so
-    # compile time is bounded by the kernel ladder, not the pattern —
-    # tracing the whole step into one XLA program took 231 s at n=144
-    # and ~10 min at n~1e5 (VERDICT r3 item 3).  Dense/banded problems
-    # keep the single fused program.
-    if getattr(qp, "h_kind", None) == "sparse":
+    # Sparse problems now run the SAME single fused jitted step as the
+    # dense path: the flat supernodal factorize/solve are trace-safe
+    # (supernodal_flat._factorize_body/_solve_body) and their inner
+    # shape-cached kernels become shared subcomputations, so the whole
+    # Mehrotra/series-arc iteration — KKT assemble + factorize +
+    # predictor/corrector solves + step — compiles into ONE XLA program
+    # per (pattern, ctl) and dispatches ONCE per iteration (round-5 fix
+    # for the ~4700 host dispatches/iteration; series arcs now run on
+    # the flagship path too).  GALAHAD_TPU_FUSED=0 restores the round-4
+    # split/eager drivers.
+    from ..linalg.supernodal_flat import _fused_enabled
+
+    if getattr(qp, "h_kind", None) == "sparse" and not _fused_enabled():
         if ctl.arc in ("taylor", "puiseux", "zhao_sun") \
                 and ctl.series_order >= 2:
             # series arcs keep the generic (eager) step — correct but
