@@ -1277,40 +1277,52 @@ def ipm_solve(qp: QP, ctl: IPMControl = IPMControl()):
     d_hist: list = []   # dual-stall detector for the f64 island
     sparse_f32 = (getattr(qp, "h_kind", None) == "sparse"
                   and qp.g.dtype == jnp.float32)
+    import numpy as _np
+
     for k in range(ctl.maxit):
         t0 = _time.perf_counter()
         prev_st = st
         st = step(qp, masks, st)
-        st.res_p.block_until_ready()
+        # ONE host fetch per iteration: through a remote/tunnel backend
+        # each device->host scalar read costs ~30 ms, so the loop's
+        # monitoring scalars travel together (also the true completion
+        # fence — block_until_ready can be acked before execution on
+        # relay backends)
+        f = jnp.float64 if st.res_p.dtype == jnp.float64 else jnp.float32
+        mon = _np.asarray(jnp.stack([
+            st.res_p.astype(f), st.res_d.astype(f), st.res_c.astype(f),
+            st.mu.astype(f), st.halt.astype(f)]))
+        res_p, res_d, res_c, mu_h = (float(mon[0]), float(mon[1]),
+                                     float(mon[2]), float(mon[3]))
         dt_it = _time.perf_counter() - t0
         if k == 0:
             t_analyse = dt_it            # trace + compile + first iter
         else:
             t_solve += dt_it
         cp = checkpoint_update(
-            cp, jnp.maximum(st.res_p, jnp.maximum(st.res_d, st.res_c)),
-            int(st.iter), _time.perf_counter() - t_start)
+            cp, max(res_p, res_d, res_c),
+            k + 1, _time.perf_counter() - t_start)
         if ctl.print_level >= 1:
             if k == 0:
                 print(" iter     p-feas     d-feas   com-slck"
                       "         mu    time")
-            print(f"{int(st.iter):5d} {float(st.res_p):10.2e}"
-                  f" {float(st.res_d):10.2e} {float(st.res_c):10.2e}"
-                  f" {float(st.mu):10.2e}"
+            print(f"{k + 1:5d} {res_p:10.2e}"
+                  f" {res_d:10.2e} {res_c:10.2e}"
+                  f" {mu_h:10.2e}"
                   f" {_time.perf_counter() - t_start:7.2f}")
-        kkt_now = max(float(st.res_p), float(st.res_d), float(st.res_c))
+        kkt_now = max(res_p, res_d, res_c)
         if kkt_now < best_kkt:
             best_kkt = kkt_now
             best_st = st
-        if bool(st.halt):
+        if mon[4] != 0.0:                # halt flag
             break
         # dual-stall: primal+comp done, dual floored by f32 solve
         # accuracy and no longer improving -> stop burning f32
         # iterations; the f64 island below finishes (SURVEY §7.1)
         if (sparse_f32 and ctl.endgame_f64
-                and float(st.res_p) <= ctl.stop_abs_p
-                and float(st.res_c) <= ctl.stop_abs_c):
-            d_hist.append(float(st.res_d))
+                and res_p <= ctl.stop_abs_p
+                and res_c <= ctl.stop_abs_c):
+            d_hist.append(res_d)
             if (len(d_hist) >= 4
                     and min(d_hist[-2:]) > 0.7 * min(d_hist[:-2])):
                 break
