@@ -132,3 +132,32 @@ class TestBlockAngularSchur:
         mesh = make_mesh(8, batch=8)
         x, y = block_angular_solve(mesh, G, A, b, C, d)
         assert float(block_angular_residual(G, A, b, C, d, x, y)) < 1e-9
+
+
+def test_sharded_supernodal_kkt():
+    """VERDICT r4 item 4: the SUPERNODAL factorization sharded over the
+    mesh — D elimination-tree strips, local flat LDL^T per device inside
+    shard_map, one psum for the separator Schur complement; semantics
+    match the monolithic sparse solve."""
+    import numpy as np
+
+    from galahad_tpu.parallel.mesh import make_mesh
+    from galahad_tpu.parallel.supernodal_mesh import (
+        build_strip_grid_kkt,
+        sharded_kkt_residual,
+        sharded_kkt_solve,
+    )
+
+    D = 8
+    plan, parts = build_strip_grid_kkt(D, 3, 8)
+    mesh = make_mesh(D, batch=D)
+    xs, xsep = sharded_kkt_solve(mesh, plan, parts["vals"], parts["B"],
+                                 parts["Kss"], parts["b"], parts["bs"])
+    res = sharded_kkt_residual(parts, xs, xsep)
+    assert res < 1e-10, res
+    # the sharded solution matches the monolithic reference solve
+    x = np.concatenate([np.asarray(xs).ravel(), np.asarray(xsep)])
+    ref = np.concatenate(
+        [parts["x_ref"][I] for I in parts["interior"]]
+        + [parts["x_ref"][parts["sep"]]])
+    assert np.max(np.abs(x - ref)) < 1e-8
