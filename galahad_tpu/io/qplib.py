@@ -389,3 +389,70 @@ def dumps(p: QPLIBProblem) -> str:
 def dump(p: QPLIBProblem, path: str) -> None:
     with open(path, "w") as fh:
         fh.write(dumps(p))
+
+
+def from_qp(qp, name: str = "", infinity: float = 1e20) -> QPLIBProblem:
+    """Build a QPLIBProblem from a solver QP / SparseQP pytree — the
+    RPD_write_qp_problem_data direction (reference src/rpd/rpd.f90:1254):
+    dump a problem (e.g. the preprocessed internal one) for replay,
+    fixtures, or bug reports.  SparseQP stays O(nnz) end-to-end."""
+    import numpy as np
+
+    n, m = qp.n, qp.m
+    if hasattr(qp, "h_pat"):          # SparseQP
+        hp = qp.h_pat
+        H_coo = (np.asarray(hp.rows, np.int64),
+                 np.asarray(hp.cols, np.int64),
+                 np.asarray(qp.h_vals, np.float64))
+        ap = qp.a_pat
+        A_coo = (np.asarray(ap.rows, np.int64),
+                 np.asarray(ap.cols, np.int64),
+                 np.asarray(qp.a_vals, np.float64))
+        has_h = len(H_coo[0]) > 0
+    else:
+        H = (np.zeros((n, n)) if getattr(qp, "H", None) is None
+             else np.asarray(qp.H, np.float64))
+        if getattr(qp, "h_kind", "dense") in ("diagonal", "identity",
+                                              "scaled_identity"):
+            H = np.diag(np.asarray(qp.H_diag(), np.float64))
+        hr, hc = np.nonzero(np.tril(H))
+        H_coo = (hr, hc, H[hr, hc])
+        A = (np.zeros((m, n)) if getattr(qp, "A", None) is None
+             else np.asarray(qp.A, np.float64))
+        ar, ac = np.nonzero(A)
+        A_coo = (ar, ac, A[ar, ac])
+        has_h = len(H_coo[0]) > 0 and np.any(H_coo[2] != 0.0)
+    ptype = ("QCL" if has_h else "LCL") if m > 0 else \
+        ("QCB" if has_h else "LCB")
+
+    def clip(v, size, default):
+        if v is None:
+            return np.full(size, default)
+        v = np.asarray(v, np.float64).copy()
+        v[v >= INFINITY] = infinity
+        v[v <= -INFINITY] = -infinity
+        return v
+
+    return QPLIBProblem(
+        name=name or getattr(qp, "name", "") or "GALAHAD_TPU",
+        ptype=ptype, minimize=True, n=n, m=m,
+        H_coo=H_coo, g=np.asarray(qp.g, np.float64),
+        f=float(qp.f), A_coo=A_coo,
+        c_l=clip(qp.c_l, m, -infinity), c_u=clip(qp.c_u, m, infinity),
+        x_l=clip(qp.x_l, n, -infinity), x_u=clip(qp.x_u, n, infinity),
+        x0=(np.zeros(n) if qp.x is None
+            else np.asarray(qp.x, np.float64)),
+        y0=(np.zeros(m) if qp.y is None
+            else np.asarray(qp.y, np.float64)),
+        z0=(np.zeros(n) if qp.z is None
+            else np.asarray(qp.z, np.float64)),
+        infinity=infinity, var_types=np.zeros(n, np.int64), H_c=[],
+        x_names={}, c_names={},
+    )
+
+
+def write_qp(path: str, qp, name: str = "") -> None:
+    """Write a solver QP / SparseQP to a QPLIB file (the
+    generate_qplib_file role of the reference QP solvers,
+    src/cqp/cqp.f90:376-395)."""
+    dump(from_qp(qp, name=name), path)

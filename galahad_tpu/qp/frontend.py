@@ -43,6 +43,8 @@ class QPControl:
                                                 # exact (x, y, z) restore
     crossover: bool = False                     # CRO after the IPM solve
                                                 # (reference cqp.f90:2785-2813)
+    generate_qplib_file: str = ""               # dump the problem before
+                                                # solving (cqp.f90:376-395)
     infinity: float = INFINITY
     ipm: IPMControl = IPMControl()
     dqp: DQPControl = DQPControl()
@@ -52,6 +54,10 @@ def qp_solve(qp: QP, ctl: QPControl = QPControl()):
     """Generic entry: optional scaling + presolve, then dispatch by
     solver name (reference qp.f90:1220-1340).  Returns (x, y, z, info)
     in the ORIGINAL problem's variables."""
+    if ctl.generate_qplib_file:
+        from ..io.qplib import write_qp
+
+        write_qp(ctl.generate_qplib_file, qp)
     work = qp
     scaling = None
     reduction = None

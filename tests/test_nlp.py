@@ -276,3 +276,66 @@ class TestTRUQuasiNewton:
         assert int(st.status) == int(Status.OK)
         d = np.arange(1, 6, dtype=float)
         np.testing.assert_allclose(np.asarray(st.x), -1.0 / d, atol=1e-4)
+
+
+def test_nls_sparse_gauss_newton_large():
+    """VERDICT r4 item 7: sparse Gauss-Newton NLS — m ~ 2e4 residuals
+    on a 1e4-variable grid with a sparse (pattern, value-callback)
+    Jacobian, normal matrix assembled by the sparse BSC and factorized
+    by the flat supernodal LDL^T; nothing densified."""
+    import numpy as np
+
+    from galahad_tpu.core.sparse import COOPattern
+    from galahad_tpu.nlp.nls import NLSControl, nls_solve_sparse
+
+    k = 100
+    n = k * k
+    idx = np.arange(n).reshape(k, k)
+    e1 = np.stack([idx[:, :-1].ravel(), idx[:, 1:].ravel()]).T
+    e2 = np.stack([idx[:-1, :].ravel(), idx[1:, :].ravel()]).T
+    E = np.concatenate([e1, e2])
+    m = len(E)
+    assert m > 1.9e4 and n == 10000
+    rng = np.random.default_rng(0)
+    xstar = rng.uniform(0.5, 1.5, n)
+    u, v = E[:, 0], E[:, 1]
+    a = jnp.asarray(xstar[u] + xstar[v] ** 2)   # consistent: r(x*) = 0
+    ju, jv = jnp.asarray(u), jnp.asarray(v)
+    j_pat = COOPattern(np.repeat(np.arange(m), 2), E.reshape(-1), m, n)
+
+    def residual(x):
+        return x[ju] + x[jv] ** 2 - a
+
+    def jac_vals(x):
+        return jnp.stack([jnp.ones(m, x.dtype),
+                          2.0 * x[jv]]).T.reshape(-1)
+
+    st = nls_solve_sparse(residual, jac_vals, j_pat,
+                          jnp.full(n, 1.0), NLSControl(maxit=40))
+    assert bool(st.converged), (float(st.f), float(st.norm_g))
+    assert float(st.f) <= 1e-10
+
+
+def test_bsc_sparse_matches_dense():
+    """Sparse S = A D A' assembly (BSC_form, reference
+    src/bsc/bsc.f90:372) matches the dense product."""
+    import numpy as np
+
+    from galahad_tpu.core.sparse import COOPattern
+    from galahad_tpu.linalg.bsc import bsc_analyse, bsc_form_sparse
+
+    rng = np.random.default_rng(1)
+    m, n = 15, 11
+    mask = rng.random((m, n)) < 0.3
+    r, c = np.nonzero(mask)
+    vals = rng.normal(size=len(r))
+    d = rng.uniform(0.5, 2.0, n)
+    plan = bsc_analyse(COOPattern(r, c, m, n))
+    sv = np.asarray(bsc_form_sparse(plan, jnp.asarray(vals),
+                                    jnp.asarray(d)))
+    A = np.zeros((m, n))
+    A[r, c] = vals
+    S = A @ np.diag(d) @ A.T
+    Sd = np.zeros((m, m))
+    Sd[np.asarray(plan.s_pat.rows), np.asarray(plan.s_pat.cols)] = sv
+    assert np.max(np.abs(np.tril(S) - Sd)) < 1e-12

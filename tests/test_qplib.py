@@ -65,3 +65,57 @@ class TestRoundtrip:
         for attr in ["H", "g", "A", "c_l", "c_u", "x_l", "x_u", "x0", "y0", "z0"]:
             np.testing.assert_allclose(getattr(q, attr), getattr(p, attr))
         assert q.f == p.f and q.infinity == p.infinity
+
+
+def test_write_qp_roundtrip_fixtures(tmp_path):
+    """VERDICT r4 item 6: read -> write -> read round-trip equality on
+    the reference fixtures and the sweep set (RPD writer,
+    reference src/rpd/rpd.f90:1254)."""
+    import glob
+
+    files = [f"/root/reference/examples/{n}.qplib"
+             for n in ("QPBAND", "LPBAND", "BQPBAND")]
+    files += sorted(glob.glob("examples/sweep/*.qplib"))[:6]
+    for path in files:
+        p1 = qplib.load(path)
+        out = tmp_path / "rt.qplib"
+        qplib.dump(p1, str(out))
+        p2 = qplib.load(out.read_text() and str(out))
+        assert (p2.n, p2.m, p2.ptype) == (p1.n, p1.m, p1.ptype), path
+        np.testing.assert_allclose(p2.H, p1.H, atol=0, err_msg=path)
+        np.testing.assert_allclose(p2.A, p1.A, atol=0, err_msg=path)
+        for f_ in ("g", "c_l", "c_u", "x_l", "x_u", "x0", "y0", "z0"):
+            np.testing.assert_allclose(getattr(p2, f_), getattr(p1, f_),
+                                       atol=0, err_msg=f"{path}:{f_}")
+
+
+def test_write_qp_from_solver_objects(tmp_path):
+    """write_qp dumps dense QP and SparseQP solver pytrees; solving the
+    re-read problem reproduces the objective (the generate_qplib_file
+    hook, reference src/cqp/cqp.f90:376-395)."""
+    from galahad_tpu.io.qplib import write_qp
+    from galahad_tpu.qp import IPMControl, ipm_solve
+    from galahad_tpu.qp.frontend import QPControl, qp_solve
+
+    qp = qplib.read_qp("/root/reference/examples/QPBAND.qplib")
+    x1, _, _, st1 = ipm_solve(qp)
+    path = str(tmp_path / "dumped.qplib")
+    write_qp(path, qp, name="RT")
+    qp2 = qplib.read_qp(path)
+    x2, _, _, st2 = ipm_solve(qp2)
+    assert abs(float(qp.objective(x1)) - float(qp2.objective(x2))) < 1e-6
+
+    sqp = qplib.read_sparse_qp("/root/reference/examples/QPBAND.qplib")
+    path2 = str(tmp_path / "dumped_sparse.qplib")
+    write_qp(path2, sqp)
+    sqp2 = qplib.read_sparse_qp(path2)
+    x3, _, _, st3 = ipm_solve(sqp2)
+    assert abs(float(sqp.objective(jnp.asarray(np.asarray(x1))))
+               - float(sqp2.objective(x3))) < 1e-6
+
+    # the QPControl hook writes before solving
+    ctl = QPControl(generate_qplib_file=str(tmp_path / "hook.qplib"))
+    qp_solve(qp, ctl)
+    assert (tmp_path / "hook.qplib").exists()
+    p = qplib.load(str(tmp_path / "hook.qplib"))
+    assert p.n == qp.n and p.m == qp.m
