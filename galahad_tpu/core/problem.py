@@ -211,7 +211,13 @@ def check_qp(qp: QP, infinity: float = INFINITY) -> int:
 
     if qp.n < 1:
         return int(Status.RESTRICTIONS)
-    if qp.A is not None and qp.A.shape[-1] != qp.n:
+    A = getattr(qp, "A", None)
+    if A is not None and A.shape[-1] != qp.n:
+        return int(Status.RESTRICTIONS)
+    a_pat = getattr(qp, "a_pat", None)           # SparseQP
+    if a_pat is not None and a_pat.n != qp.n:
+        return int(Status.RESTRICTIONS)
+    if qp.x_l.shape[-1] != qp.n or qp.x_u.shape[-1] != qp.n:
         return int(Status.RESTRICTIONS)
     xl = jnp.where(qp.x_l > -infinity, qp.x_l, -jnp.inf)
     xu = jnp.where(qp.x_u < infinity, qp.x_u, jnp.inf)

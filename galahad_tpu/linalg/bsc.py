@@ -70,8 +70,12 @@ class BSCPlan:
 
     def device(self):
         if self._dev is None:
-            self._dev = tuple(jnp.asarray(a, jnp.int32) for a in
-                              (self.p1, self.p2, self.dcol, self.sout))
+            import jax
+
+            # concrete buffers even when first touched inside a trace
+            with jax.ensure_compile_time_eval():
+                self._dev = tuple(jnp.asarray(a, jnp.int32) for a in
+                                  (self.p1, self.p2, self.dcol, self.sout))
         return self._dev
 
 

@@ -183,8 +183,14 @@ class SparseKKTPlan:
 
     def device_indices(self):
         if self._dev is None:
-            self._dev = tuple(jnp.asarray(a, jnp.int32) for a in
-                              (self.rows, self.cols, self.dsel, self.dpos))
+            # concrete buffers even when first touched inside a jit
+            # trace (the fused step): a cached tracer would leak
+            import jax
+
+            with jax.ensure_compile_time_eval():
+                self._dev = tuple(
+                    jnp.asarray(a, jnp.int32) for a in
+                    (self.rows, self.cols, self.dsel, self.dpos))
         return self._dev
 
     def solve(self, fac, b):

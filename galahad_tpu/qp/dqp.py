@@ -124,6 +124,17 @@ def dqp_solve(qp: QP, y0=None, z0=None,
     entries).  y0/z0 warm-start the duals."""
     dt = qp.g.dtype
     n, m = qp.n, qp.m
+    from ..core.problem import check_qp
+
+    bad = check_qp(qp, ctl.infinity)           # -3 / -4 entry contract
+    if bad != 0:
+        z0_ = jnp.zeros(n, dt)
+        return DQPInfo(x=z0_, y=jnp.zeros(m, dt), z=z0_,
+                       obj=jnp.asarray(jnp.nan, dt),
+                       iter=jnp.asarray(0, jnp.int32),
+                       converged=jnp.asarray(False),
+                       status=jnp.asarray(bad, jnp.int32),
+                       norm_pg=jnp.asarray(jnp.inf, dt))
     masks = classify_bounds(qp, ctl.infinity)
 
     # H^-1 closure: one factorization up front

@@ -43,6 +43,8 @@ class QPControl:
                                                 # exact (x, y, z) restore
     crossover: bool = False                     # CRO after the IPM solve
                                                 # (reference cqp.f90:2785-2813)
+    crossover_on_stall: bool = True             # DQP rescue on IPM -13/-18
+                                                # (the QPC cqp->qpa role)
     generate_qplib_file: str = ""               # dump the problem before
                                                 # solving (cqp.f90:376-395)
     infinity: float = INFINITY
@@ -75,6 +77,21 @@ def qp_solve(qp: QP, ctl: QPControl = QPControl()):
     name = ctl.quadratic_programming_solver
     if name == "cqp":
         x, y, z, info = ipm_solve(work, ctl.ipm)
+        # Degenerate-endgame rescue (VERDICT r4 item 5): when the IPM
+        # stalls on a degenerate vertex (-13 TINY_STEP) or runs out of
+        # iterations with small-but-floored residuals (-18), a DUAL
+        # projected-gradient solve is immune to the missing strict
+        # complementarity (the reference's QPC CQP->QPA crossover role,
+        # src/qpc/qpc.f90; dual rescue requires H nonsingular, so LPs
+        # are excluded).  Keep the rescue result only if it converges.
+        if (ctl.crossover_on_stall and int(info.status) in (-13, -18)
+                and getattr(work, "h_kind", "dense") != "zero"):
+            try:
+                d = dqp_solve(work, ctl=ctl.dqp)
+                if int(d.status) == 0:
+                    x, y, z, info = d.x, d.y, d.z, d
+            except Exception:  # noqa: BLE001 — rescue is best-effort
+                pass
     elif name == "dqp":
         d = dqp_solve(work, ctl=ctl.dqp)
         x, y, z, info = d.x, d.y, d.z, d

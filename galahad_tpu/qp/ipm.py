@@ -1241,8 +1241,28 @@ def ipm_solve(qp: QP, ctl: IPMControl = IPMControl()):
     from ..core.checkpoint import checkpoint_init, checkpoint_update
 
     t_start = _time.perf_counter()
+    # entry restrictions (-3) / bound consistency (-4): the per-solver
+    # input checks of the reference (src/cqp/cqp.f90 n >= 1, m >= 0,
+    # x_l <= x_u, c_l <= c_u -> statuses -3 / -4)
+    from ..core.problem import check_qp
+
+    bad = check_qp(qp, ctl.infinity)
+    if bad != 0:
+        # the offending problem may not even have consistent shapes;
+        # scaffold the returned state from a well-formed zero problem
+        dt = qp.g.dtype
+        qp = QP(H=None, g=jnp.zeros(qp.n, dt),
+                A=jnp.zeros((qp.m, qp.n), dt),
+                c_l=jnp.full(qp.m, -INFINITY, dt),
+                c_u=jnp.full(qp.m, INFINITY, dt),
+                x_l=jnp.full(qp.n, -INFINITY, dt),
+                x_u=jnp.full(qp.n, INFINITY, dt), h_kind="zero")
     masks = classify_bounds(qp, ctl.infinity)
     st = ipm_init(qp, masks, ctl)
+    if bad != 0:
+        st = dataclasses.replace(
+            st, halt=jnp.array(True),
+            status=jnp.array(bad, jnp.int32))
     qp = dataclasses.replace(qp, name="")   # avoid per-name recompilation
     # Sparse problems now run the SAME single fused jitted step as the
     # dense path: the flat supernodal factorize/solve are trace-safe
@@ -1279,7 +1299,7 @@ def ipm_solve(qp: QP, ctl: IPMControl = IPMControl()):
                   and qp.g.dtype == jnp.float32)
     import numpy as _np
 
-    for k in range(ctl.maxit):
+    for k in range(0 if bad != 0 else ctl.maxit):
         t0 = _time.perf_counter()
         prev_st = st
         st = step(qp, masks, st)

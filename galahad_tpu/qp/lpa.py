@@ -125,6 +125,13 @@ def lpa_solve(qp: QP, ctl: LPAControl = LPAControl()) -> LPAInfo:
     g = np.asarray(qp.g, np.float64)
     n = g.shape[0]
     m = qp.m
+    from ..core.problem import check_qp
+
+    bad = check_qp(qp, ctl.infinity)           # -3 / -4 entry contract
+    if bad != 0:
+        return LPAInfo(x=np.zeros(n), y=np.zeros(m), z=np.zeros(n),
+                       obj=float("nan"), status=bad, iter=0,
+                       basis=np.zeros(0, np.int64))
     A = np.asarray(qp.A, np.float64) if m else np.zeros((0, n))
     inf = ctl.infinity
     xl = np.asarray(qp.x_l, np.float64)

@@ -103,6 +103,15 @@ def qpa_solve(qp: QP, x0=None, c_stat0=None, b_stat0=None,
     the working set (the reference's C_stat/B_stat arrays)."""
     dt = qp.g.dtype
     n, m = qp.n, qp.m
+    from ..core.problem import check_qp
+
+    bad = check_qp(qp, ctl.infinity)           # -3 / -4 entry contract
+    if bad != 0:
+        zn = jnp.zeros(n, dt)
+        return QPAInfo(x=zn, y=jnp.zeros(m, dt), z=zn,
+                       obj=jnp.asarray(jnp.nan, dt), status=bad, iter=0,
+                       c_stat=jnp.zeros(m, jnp.int32),
+                       b_stat=jnp.zeros(n, jnp.int32))
     masks = classify_bounds(qp, ctl.infinity)
     H = qp.H_dense()
     A = qp.A if m else None

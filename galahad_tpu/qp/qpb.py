@@ -71,6 +71,15 @@ def qpb_solve(qp: QP, ctl: QPBControl = QPBControl()) -> QPBInfo:
     dt = qp.g.dtype
     n, m = qp.n, qp.m
     nv = n + m
+    from ..core.problem import check_qp
+
+    bad = check_qp(qp, ctl.infinity)           # -3 / -4 entry contract
+    if bad != 0:
+        zn = jnp.zeros(n, dt)
+        inf_ = jnp.asarray(jnp.inf, dt)
+        return QPBInfo(x=zn, y=jnp.zeros(m, dt), z=zn,
+                       obj=jnp.asarray(jnp.nan, dt), status=bad, iter=0,
+                       res_p=inf_, res_d=inf_, res_c=inf_)
     masks = classify_bounds(qp, ctl.infinity)
 
     # --- slack-form bounds and masks over v = [x; c] ---

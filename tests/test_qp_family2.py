@@ -323,3 +323,23 @@ class TestDQPExactArc:
         warm = dqp_solve(qp, y0=y, z0=z, ctl=DQPControl(exact_arc=True))
         assert bool(warm.converged)
         assert int(warm.iter) <= 2
+
+
+def test_degenerate_stall_rescued_by_dqp_crossover():
+    """VERDICT r4 item 5: IPM stalls on degenerate endgames (-13/-18)
+    are rescued by the DQP dual crossover in qp_solve (the QPC
+    cqp->qpa role, reference src/qpc/qpc.f90); both sweep fixtures
+    reach status 0."""
+    import numpy as np
+
+    from galahad_tpu.io import qplib
+    from galahad_tpu.core.residuals import kkt_residuals
+    from galahad_tpu.qp.frontend import QPControl, qp_solve
+
+    for name in ("QPDEGEN", "QPMIXB"):
+        qp = qplib.read_qp(f"examples/sweep/{name}.qplib")
+        x, y, z, info = qp_solve(qp, QPControl())
+        assert int(info.status) == 0, (name, int(info.status))
+        rp, rd, rc = kkt_residuals(qp, x, y, z)
+        assert float(rp) <= 1e-6 and float(rd) <= 1e-5, (name, rp, rd)
+        assert float(rc) <= 1e-4, (name, float(rc))
