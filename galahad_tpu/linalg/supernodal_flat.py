@@ -442,34 +442,6 @@ def _device_plan_build(plan: FlatPlan):
             return out
 
         chunks = mk_chunks(1)
-        # solve sweeps only READ the slab; the chunk-size multiplier
-        # trades per-call slab traffic against dispatch count (measured
-        # on the tunnel: 1 is no slower than 4, so keep 1)
-        schunks = mk_chunks(1)
-
-        def pack(cs):
-            """Fuse runs of same-shape chunks into scan packs of
-            _SCAN_K (one dispatch each); leftovers stay single.  Pads
-            are exact no-ops (ncols = 0, nblocks = 0, sentinel rows)."""
-            by_ch: dict = {}
-            for c in cs:
-                by_ch.setdefault(c["ch"], []).append(c)
-            packs, singles = [], []
-            for ch, group_cs in by_ch.items():
-                while len(group_cs) >= _SCAN_K:
-                    sub, group_cs = group_cs[:_SCAN_K], group_cs[_SCAN_K:]
-                    packs.append(dict(
-                        ch=ch,
-                        goffs=jnp.stack([c["goff"] for c in sub]),
-                        ncols=jnp.stack([c["ncols"] for c in sub]),
-                        nblocks=jnp.stack([c["nblocks"] for c in sub]),
-                        frows=jnp.stack([c["frows"] for c in sub]),
-                    ))
-                singles.extend(group_cs)
-            return packs, singles
-
-        fpacks, fsingles = pack(chunks)
-        spacks, ssingles = pack(schunks)
 
         # --- dense extend-add buckets, per factor chunk ----------------
         # Each child contributes C = P^T S P to its parent's front: S is
@@ -561,10 +533,101 @@ def _device_plan_build(plan: FlatPlan):
                                 starts=arr(starts), ppos=arr(pt),
                                 pidx=arr(pidx)))
 
-        dev["groups"].append(dict(chunks=chunks, schunks=schunks,
-                                  fpacks=fpacks, fsingles=fsingles,
-                                  spacks=spacks, ssingles=ssingles,
-                                  Fpad=g.Fpad, level=g.level))
+        dev["groups"].append(dict(chunks=chunks, Fpad=g.Fpad,
+                                  level=g.level))
+
+    # --- level-ordered scan packs (ONE call site per same-shape run) --
+    # Within a level, extend-add ops and factor chunks are independent
+    # across groups, so they may be reordered freely: sort by shape and
+    # stack each maximal same-shape run into one lax.scan call.  This
+    # bounds the fused program's call-site count by the number of
+    # DISTINCT shapes per level, not the number of chunks — the
+    # round-5 compile/trace-size fix (was ~5000 call sites per IPM
+    # step at n_kkt=150k).
+    def runs(items, key):
+        """Group maximal CONSECUTIVE same-key runs.  Items must already
+        be in a legal execution order — only reorder before calling
+        this where reordering is legal (within one level)."""
+        out: list = []
+        for it in items:
+            if out and key(out[-1][0]) == key(it):
+                out[-1].append(it)
+            else:
+                out.append([it])
+        return out
+
+    def stack(vals):
+        return jnp.stack(vals)
+
+    fseq = []
+    by_level: dict = {}
+    for g in dev["groups"]:
+        by_level.setdefault(g["level"], []).append(g)
+    for lv in sorted(by_level):
+        ea_items: list = []
+        fac_items: list = []
+        for g in by_level[lv]:
+            Fd = g["Fpad"]
+            for c in g["chunks"]:
+                for o in c.get("ea", ()):
+                    ea_items.append(dict(o, Fd=Fd))
+                fac_items.append(dict(ch=c["ch"], Fpad=Fd,
+                                      goff=c["goff"], ncols=c["ncols"],
+                                      nblocks=c["nblocks"]))
+        ea_packs = []
+        slot_key = lambda o: (o["kind"], o["Fd"], o["Um"], o["fps"],
+                              o["chsub"], o.get("nc", 0))
+        ea_items.sort(key=slot_key)          # legal: one level
+        fac_items.sort(key=lambda c: (c["ch"], c["Fpad"]))
+        for run in runs(ea_items, slot_key):
+            o0 = run[0]
+            pk = dict(kind=o0["kind"], Fd=o0["Fd"], Um=o0["Um"],
+                      fps=o0["fps"], chsub=o0["chsub"],
+                      goffs=stack([o["goff"] for o in run]),
+                      starts=stack([o["starts"] for o in run]),
+                      ppos=stack([o["ppos"] for o in run]))
+            if o0["kind"] == "q":
+                pk["nc"] = o0["nc"]
+                pk["pidx"] = stack([o["pidx"] for o in run])
+            ea_packs.append(pk)
+        fac_packs = []
+        for run in runs(fac_items, lambda c: (c["ch"], c["Fpad"])):
+            fac_packs.append(dict(
+                ch=run[0]["ch"], Fpad=run[0]["Fpad"],
+                goffs=stack([c["goff"] for c in run]),
+                ncols=stack([c["ncols"] for c in run]),
+                nblocks=stack([c["nblocks"] for c in run])))
+        fseq.append(dict(ea=ea_packs, fac=fac_packs))
+    dev["fseq"] = fseq
+
+    # solve sweeps: global level order with runs packed ACROSS level
+    # boundaries when adjacent shapes happen to match (scan preserves
+    # sequential order, so this is always legal)
+    def solve_packs(order_desc):
+        items = []
+        for lv in sorted(by_level, reverse=order_desc):
+            lv_items = []
+            for g in by_level[lv]:
+                for c in g["chunks"]:
+                    lv_items.append(dict(ch=c["ch"], Fpad=g["Fpad"],
+                                         goff=c["goff"],
+                                         ncols=c["ncols"],
+                                         nblocks=c["nblocks"],
+                                         frows=c["frows"]))
+            lv_items.sort(key=lambda c: (c["ch"], c["Fpad"]))
+            items.extend(lv_items)
+        packs = []
+        for run in runs(items, lambda c: (c["ch"], c["Fpad"])):
+            packs.append(dict(
+                ch=run[0]["ch"], Fpad=run[0]["Fpad"],
+                goffs=stack([c["goff"] for c in run]),
+                ncols=stack([c["ncols"] for c in run]),
+                nblocks=stack([c["nblocks"] for c in run]),
+                frows=stack([c["frows"] for c in run])))
+        return packs
+
+    dev["s_fwd"] = solve_packs(False)
+    dev["s_bwd"] = solve_packs(True)
     plan._dev = dev
     return dev
 
@@ -677,83 +740,84 @@ def _ea_onehot(ppos, Fd: int, dt):
 _HI = lax.Precision.HIGHEST     # one-hot matmuls must not round S to bf16
 
 
-@lru_cache(maxsize=None)
-def _k_ea_slot(chsub: int, Fd: int, Um: int, fps: int, S_pad: int,
-               dt: str):
+def _ea_slot_apply(store, goff, starts, ppos, chsub, Fd, Um, fps, dtt):
     """Slot-dense scatter-free extend-add: every front in the sub-chunk
     owns one child slot of shape (Um, fps); the child Schur blocks are
     expanded to full (Fd, Fd) parent coordinates by one-hot matmuls and
-    added to the CONTIGUOUS chunk slab.  Donates store."""
-    @partial(jax.jit, donate_argnums=0)
-    def k(store, goff, starts, ppos):
-        S = _ea_gather_blocks(store, starts, Um, fps, jnp.dtype(dt))
-        P = _ea_onehot(ppos, Fd, jnp.dtype(dt))
-        T = lax.dot_general(S, P, (((2,), (1,)), ((0,), (0,))),
-                            precision=_HI)              # (c, Um, Fd)
-        C = lax.dot_general(P, T, (((1,), (1,)), ((0,), (0,))),
-                            precision=_HI)              # (c, Fd, Fd)
-        slab = lax.dynamic_slice(store, (goff,), (chsub * Fd * Fd,))
-        slab = slab + C.reshape(-1)
-        return lax.dynamic_update_slice(store, slab, (goff,))
-    return k
+    added to the CONTIGUOUS chunk slab."""
+    S = _ea_gather_blocks(store, starts, Um, fps, dtt)
+    P = _ea_onehot(ppos, Fd, dtt)
+    T = lax.dot_general(S, P, (((2,), (1,)), ((0,), (0,))),
+                        precision=_HI)              # (c, Um, Fd)
+    C = lax.dot_general(P, T, (((1,), (1,)), ((0,), (0,))),
+                        precision=_HI)              # (c, Fd, Fd)
+    slab = lax.dynamic_slice(store, (goff,), (chsub * Fd * Fd,))
+    slab = slab + C.reshape(-1)
+    return lax.dynamic_update_slice(store, slab, (goff,))
 
 
-@lru_cache(maxsize=None)
-def _k_ea_q(nc: int, ch: int, Fd: int, Um: int, fps: int, S_pad: int,
-            dt: str):
+def _ea_q_apply(store, goff, starts, ppos, pidx, nc, ch, Fd, Um, fps,
+                dtt):
     """Compact scatter-free extend-add for sparse buckets: nc real
     children are expanded to (nc, Fd, Fd) contributions and routed to
     their parent rows of the chunk slab by a second one-hot matmul Q
-    (nc, ch); padding children carry pidx = ch -> zero row.  Donates
-    store."""
+    (nc, ch); padding children carry pidx = ch -> zero row."""
+    S = _ea_gather_blocks(store, starts, Um, fps, dtt)
+    P = _ea_onehot(ppos, Fd, dtt)
+    T = lax.dot_general(S, P, (((2,), (1,)), ((0,), (0,))),
+                        precision=_HI)              # (nc, Um, Fd)
+    C = lax.dot_general(P, T, (((1,), (1,)), ((0,), (0,))),
+                        precision=_HI)              # (nc, Fd, Fd)
+    Q = (pidx[:, None]
+         == jnp.arange(ch, dtype=pidx.dtype)[None, :]).astype(dtt)
+    R = lax.dot_general(Q, C.reshape(nc, Fd * Fd),
+                        (((0,), (0,)), ((), ())),
+                        precision=_HI)              # (ch, Fd*Fd)
+    slab = lax.dynamic_slice(store, (goff,), (ch * Fd * Fd,))
+    slab = slab + R.reshape(-1)
+    return lax.dynamic_update_slice(store, slab, (goff,))
+
+
+@lru_cache(maxsize=None)
+def _k_ea_slot_scan(chsub: int, Fd: int, Um: int, fps: int, S_pad: int,
+                    dt: str):
+    """lax.scan over a run of same-shape slot-dense extend-add ops (one
+    call site regardless of run length; the body compiles once)."""
+    dtt = jnp.dtype(dt)
+
     @partial(jax.jit, donate_argnums=0)
-    def k(store, goff, starts, ppos, pidx):
-        dtt = jnp.dtype(dt)
-        S = _ea_gather_blocks(store, starts, Um, fps, dtt)
-        P = _ea_onehot(ppos, Fd, dtt)
-        T = lax.dot_general(S, P, (((2,), (1,)), ((0,), (0,))),
-                            precision=_HI)              # (nc, Um, Fd)
-        C = lax.dot_general(P, T, (((1,), (1,)), ((0,), (0,))),
-                            precision=_HI)              # (nc, Fd, Fd)
-        Q = (pidx[:, None]
-             == jnp.arange(ch, dtype=pidx.dtype)[None, :]).astype(dtt)
-        R = lax.dot_general(Q, C.reshape(nc, Fd * Fd),
-                            (((0,), (0,)), ((), ())),
-                            precision=_HI)              # (ch, Fd*Fd)
-        slab = lax.dynamic_slice(store, (goff,), (ch * Fd * Fd,))
-        slab = slab + R.reshape(-1)
-        return lax.dynamic_update_slice(store, slab, (goff,))
+    def k(store, goffs, starts, ppos):
+        def body(store, xs):
+            goff, st_, pp = xs
+            return _ea_slot_apply(store, goff, st_, pp,
+                                  chsub, Fd, Um, fps, dtt), None
+        store, _ = lax.scan(body, store, (goffs, starts, ppos))
+        return store
     return k
 
 
 @lru_cache(maxsize=None)
-def _k_factor(CH: int, Fpad: int, S_pad: int, dt: str):
-    """Slice a chunk slab out of the store, partial-factor it, write it
-    back; donates store.  One dispatch per chunk."""
-    B = _B_of(Fpad)
+def _k_ea_q_scan(nc: int, ch: int, Fd: int, Um: int, fps: int,
+                 S_pad: int, dt: str):
+    dtt = jnp.dtype(dt)
 
     @partial(jax.jit, donate_argnums=0)
-    def k(store, goff, ncols, nblocks):
-        F = lax.dynamic_slice(
-            store, (goff,), (CH * Fpad * Fpad,)).reshape(CH, Fpad, Fpad)
-        F, dmin, npos, nneg, nzero = _partial_ldlt_dyn(F, ncols, nblocks, B)
-        store = lax.dynamic_update_slice(store, F.reshape(-1), (goff,))
-        return store, jnp.stack([dmin, npos.astype(F.dtype),
-                                 nneg.astype(F.dtype),
-                                 nzero.astype(F.dtype)])
+    def k(store, goffs, starts, ppos, pidx):
+        def body(store, xs):
+            goff, st_, pp, pi = xs
+            return _ea_q_apply(store, goff, st_, pp, pi,
+                               nc, ch, Fd, Um, fps, dtt), None
+        store, _ = lax.scan(body, store, (goffs, starts, ppos, pidx))
+        return store
     return k
-
-
-
-_SCAN_K = 8          # chunks fused per scan dispatch (tunnel ~ms/call)
 
 
 @lru_cache(maxsize=None)
 def _k_factor_scan(CH: int, Fpad: int, S_pad: int, dt: str):
-    """Factor _SCAN_K chunks of one group in a single dispatch via
-    lax.scan (chunks of a group are independent; scan just sequences
-    them inside one program).  Padding entries carry nblocks == 0 and
-    ncols == 0: exact no-ops."""
+    """Factor a RUN of same-shape chunks in a single call site via
+    lax.scan (the chunks are independent; scan sequences them inside
+    one program and the body compiles once).  Padding entries carry
+    nblocks == 0 and ncols == 0: exact no-ops."""
     B = _B_of(Fpad)
 
     @partial(jax.jit, donate_argnums=0)
@@ -845,17 +909,6 @@ def _fwd_one(store, y, goff, ncols, nblocks, frows,
     return y
 
 
-@lru_cache(maxsize=None)
-def _k_fwd(CH: int, Fpad: int, n_pad: int, S_pad: int, dt: str):
-    B = _B_of(Fpad)
-
-    @partial(jax.jit, donate_argnums=1)
-    def k(store, y, goff, ncols, nblocks, frows):
-        return _fwd_one(store, y, goff, ncols, nblocks, frows,
-                        CH, Fpad, B, n_pad, dt)
-    return k
-
-
 def _bwd_one(store, y, goff, ncols, nblocks, frows,
              CH, Fpad, B, n_pad, dt):
     F = lax.dynamic_slice(
@@ -883,17 +936,6 @@ def _bwd_one(store, y, goff, ncols, nblocks, frows,
     y = y.at[jnp.where(elim, frows, n_pad)].set(
         jnp.where(elim, yF, 0.0), mode="drop")
     return y
-
-
-@lru_cache(maxsize=None)
-def _k_bwd(CH: int, Fpad: int, n_pad: int, S_pad: int, dt: str):
-    B = _B_of(Fpad)
-
-    @partial(jax.jit, donate_argnums=1)
-    def k(store, y, goff, ncols, nblocks, frows):
-        return _bwd_one(store, y, goff, ncols, nblocks, frows,
-                        CH, Fpad, B, n_pad, dt)
-    return k
 
 
 @lru_cache(maxsize=None)
@@ -967,72 +1009,52 @@ def warm_plan(plan: FlatPlan, dtype, nnz: int = 0, pool_size: int = 8):
                                 jnp.zeros(n, i32)).block_until_ready(),
         _k_yout(n, n_pad, dts)(jnp.zeros(n_pad, dt),
                                jnp.zeros(n, i32)).block_until_ready()))
-    for g in dev["groups"]:
-        Fpad = g["Fpad"]
-        for c in g["chunks"]:
-            for o in c.get("ea", ()):
-                if o["kind"] == "slot":
-                    def ea_task(cs=o["chsub"], Um=o["Um"], fps=o["fps"],
-                                Fd=Fpad):
-                        z = jnp.zeros((cs, Um), i32)
-                        _k_ea_slot(cs, Fd, Um, fps, S_pad, dts)(
-                            st0(), jnp.zeros((), i32), z[:, 0],
-                            z - 1).block_until_ready()
-                    add(("eas", o["chsub"], Fpad, o["Um"], o["fps"]),
-                        ea_task)
-                else:
-                    def ea_task(nc=o["nc"], cs=o["chsub"], Um=o["Um"],
-                                fps=o["fps"], Fd=Fpad):
-                        z = jnp.zeros((nc, Um), i32)
-                        _k_ea_q(nc, cs, Fd, Um, fps, S_pad, dts)(
-                            st0(), jnp.zeros((), i32), z[:, 0], z - 1,
-                            jnp.full((nc,), cs, i32)).block_until_ready()
-                    add(("eaq", o["nc"], o["chsub"], Fpad, o["Um"],
-                         o["fps"]), ea_task)
-        for c in g["chunks"]:
-            CH = c["ch"]
+    for lvp in dev["fseq"]:
+        for o in lvp["ea"]:
+            K = int(o["goffs"].shape[0])
+            if o["kind"] == "slot":
+                def ea_task(K=K, cs=o["chsub"], Um=o["Um"],
+                            fps=o["fps"], Fd=o["Fd"]):
+                    z = jnp.zeros((K, cs, Um), i32)
+                    _k_ea_slot_scan(cs, Fd, Um, fps, S_pad, dts)(
+                        st0(), jnp.zeros(K, i32), z[:, :, 0],
+                        z - 1).block_until_ready()
+                add(("eas", K, o["chsub"], o["Fd"], o["Um"], o["fps"]),
+                    ea_task)
+            else:
+                def ea_task(K=K, nc=o["nc"], cs=o["chsub"], Um=o["Um"],
+                            fps=o["fps"], Fd=o["Fd"]):
+                    z = jnp.zeros((K, nc, Um), i32)
+                    _k_ea_q_scan(nc, cs, Fd, Um, fps, S_pad, dts)(
+                        st0(), jnp.zeros(K, i32), z[:, :, 0], z - 1,
+                        jnp.full((K, nc), cs, i32)).block_until_ready()
+                add(("eaq", K, o["nc"], o["chsub"], o["Fd"], o["Um"],
+                     o["fps"]), ea_task)
+        for pk in lvp["fac"]:
+            K = int(pk["goffs"].shape[0])
 
-            def fac_task(CH=CH, Fpad=Fpad):
-                _k_factor(CH, Fpad, S_pad, dts)(
-                    st0(), jnp.zeros((), i32), jnp.zeros(CH, i32),
-                    jnp.asarray(1, i32))[1].block_until_ready()
-
-            add(("fac", CH, Fpad), fac_task)
-        for pk in g["fpacks"]:
-            def facs_task(CH=pk["ch"], Fpad=Fpad):
+            def fac_task(K=K, CH=pk["ch"], Fpad=pk["Fpad"]):
                 _k_factor_scan(CH, Fpad, S_pad, dts)(
-                    st0(), jnp.zeros(_SCAN_K, i32),
-                    jnp.zeros((_SCAN_K, CH), i32),
-                    jnp.zeros(_SCAN_K, i32))[1].block_until_ready()
-            add(("facs", pk["ch"], Fpad), facs_task)
-        for pk in g["spacks"]:
-            def slvs_task(CH=pk["ch"], Fpad=Fpad):
-                st = jnp.zeros(S_pad, dt)
-                fr = jnp.zeros((_SCAN_K, CH, Fpad), i32)
-                nc = jnp.zeros((_SCAN_K, CH), i32)
-                nb = jnp.zeros(_SCAN_K, i32)
-                go = jnp.zeros(_SCAN_K, i32)
-                y2 = _k_fwd_scan(CH, Fpad, n_pad, S_pad, dts)(
-                    st, jnp.zeros(n_pad, dt), go, nc, nb, fr)
-                _k_bwd_scan(CH, Fpad, n_pad, S_pad, dts)(
-                    st, y2, go, nc, nb, fr).block_until_ready()
-            add(("slvs", pk["ch"], Fpad), slvs_task)
-        for c in g["schunks"]:
-            CH = c["ch"]
+                    st0(), jnp.zeros(K, i32),
+                    jnp.zeros((K, CH), i32),
+                    jnp.zeros(K, i32))[1].block_until_ready()
 
-            def slv_task(CH=CH, Fpad=Fpad):
+            add(("fac", K, pk["ch"], pk["Fpad"]), fac_task)
+    for pks, kern in ((dev["s_fwd"], _k_fwd_scan),
+                      (dev["s_bwd"], _k_bwd_scan)):
+        for pk in pks:
+            K = int(pk["goffs"].shape[0])
+
+            def slv_task(K=K, CH=pk["ch"], Fpad=pk["Fpad"], kern=kern):
                 st = jnp.zeros(S_pad, dt)
-                fr = jnp.zeros((CH, Fpad), i32)
-                nc = jnp.zeros(CH, i32)
-                nb1 = jnp.asarray(1, i32)
-                y = _k_fwd(CH, Fpad, n_pad, S_pad, dts)(
-                    st, jnp.zeros(n_pad, dt), jnp.zeros((), i32), nc,
-                    nb1, fr)
-                _k_bwd(CH, Fpad, n_pad, S_pad, dts)(
-                    st, y, jnp.zeros((), i32), nc, nb1,
+                fr = jnp.zeros((K, CH, Fpad), i32)
+                kern(CH, Fpad, n_pad, S_pad, dts)(
+                    st, jnp.zeros(n_pad, dt), jnp.zeros(K, i32),
+                    jnp.zeros((K, CH), i32), jnp.zeros(K, i32),
                     fr).block_until_ready()
 
-            add(("slv", CH, Fpad), slv_task)
+            add(("slv", kern is _k_bwd_scan, K, pk["ch"], pk["Fpad"]),
+                slv_task)
 
     import os as _os
     import threading
@@ -1107,27 +1129,22 @@ def _factorize_body(plan: FlatPlan, vals, shift=0.0) -> FlatFactors:
             jnp.full(Ld, shift, dt))
 
     stats = []
-    for g in dev["groups"]:
-        Fpad = g["Fpad"]
-        for c in g["chunks"]:
-            for o in c.get("ea", ()):
-                if o["kind"] == "slot":
-                    store = _k_ea_slot(o["chsub"], Fpad, o["Um"],
-                                       o["fps"], S_pad, dts)(
-                        store, o["goff"], o["starts"], o["ppos"])
-                else:
-                    store = _k_ea_q(o["nc"], o["chsub"], Fpad, o["Um"],
-                                    o["fps"], S_pad, dts)(
-                        store, o["goff"], o["starts"], o["ppos"],
-                        o["pidx"])
-        for pk in g["fpacks"]:
-            store, st4 = _k_factor_scan(pk["ch"], Fpad, S_pad, dts)(
+    for lvp in dev["fseq"]:
+        for o in lvp["ea"]:
+            if o["kind"] == "slot":
+                store = _k_ea_slot_scan(o["chsub"], o["Fd"], o["Um"],
+                                        o["fps"], S_pad, dts)(
+                    store, o["goffs"], o["starts"], o["ppos"])
+            else:
+                store = _k_ea_q_scan(o["nc"], o["chsub"], o["Fd"],
+                                     o["Um"], o["fps"], S_pad, dts)(
+                    store, o["goffs"], o["starts"], o["ppos"],
+                    o["pidx"])
+        for pk in lvp["fac"]:
+            store, st4 = _k_factor_scan(pk["ch"], pk["Fpad"], S_pad,
+                                        dts)(
                 store, pk["goffs"], pk["ncols"], pk["nblocks"])
-            stats.append(st4)                      # (_SCAN_K, 4)
-        for c in g["fsingles"]:
-            store, st4 = _k_factor(c["ch"], Fpad, S_pad, dts)(
-                store, c["goff"], c["ncols"], c["nblocks"])
-            stats.append(st4[None, :])
+            stats.append(st4)                      # (K, 4)
     if stats:
         st4 = jnp.concatenate(stats, axis=0)
         dmin = jnp.min(st4[:, 0])
@@ -1234,20 +1251,12 @@ def _solve_body(plan: FlatPlan, store, b):
     S_pad = dev["S_pad"]
     n_pad = dev["n_pad"]
     y = _k_yinit(plan.n, n_pad, dts)(b, dev["perm"])
-    for g in dev["groups"]:
-        for pk in g["spacks"]:
-            y = _k_fwd_scan(pk["ch"], g["Fpad"], n_pad, S_pad, dts)(
-                store, y, pk["goffs"], pk["ncols"], pk["nblocks"],
-                pk["frows"])
-        for c in g["ssingles"]:
-            y = _k_fwd(c["ch"], g["Fpad"], n_pad, S_pad, dts)(
-                store, y, c["goff"], c["ncols"], c["nblocks"], c["frows"])
-    for g in reversed(dev["groups"]):
-        for c in g["ssingles"]:
-            y = _k_bwd(c["ch"], g["Fpad"], n_pad, S_pad, dts)(
-                store, y, c["goff"], c["ncols"], c["nblocks"], c["frows"])
-        for pk in g["spacks"]:
-            y = _k_bwd_scan(pk["ch"], g["Fpad"], n_pad, S_pad, dts)(
-                store, y, pk["goffs"], pk["ncols"], pk["nblocks"],
-                pk["frows"])
+    for pk in dev["s_fwd"]:
+        y = _k_fwd_scan(pk["ch"], pk["Fpad"], n_pad, S_pad, dts)(
+            store, y, pk["goffs"], pk["ncols"], pk["nblocks"],
+            pk["frows"])
+    for pk in dev["s_bwd"]:
+        y = _k_bwd_scan(pk["ch"], pk["Fpad"], n_pad, S_pad, dts)(
+            store, y, pk["goffs"], pk["ncols"], pk["nblocks"],
+            pk["frows"])
     return _k_yout(plan.n, n_pad, dts)(y, dev["iperm"])

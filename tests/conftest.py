@@ -32,7 +32,37 @@ try:
         _hk = _fh.read().strip()[:12]
 except OSError:
     _hk = f"{platform.node()}-{platform.machine()}"
+# ROOT CAUSE of the historic in-process segfault (VERDICT r4 item 8):
+# the crash is in compilation_cache.get_executable_and_time — LOADING
+# an XLA:CPU AOT executable whose target features don't match this
+# process (entries written by axon-plugin-active processes carry
+# +prefer-no-scatter/+prefer-no-gather; executing them SIGSEGVs).  The
+# fix is to key the cache dir by a COMPILE-ENVIRONMENT fingerprint so
+# pure-CPU test processes never read entries written under a different
+# backend configuration.
+import hashlib  # noqa: E402
+
+try:  # container clones can share /etc/machine-id: fingerprint the
+    # ACTUAL host CPU feature set too (the loader SIGILLs on foreign
+    # features, it does not reject them)
+    with open("/proc/cpuinfo") as _fh:
+        for _ln in _fh:
+            if _ln.startswith("flags"):
+                _cpuflags = " ".join(sorted(_ln.split(":", 1)[1].split()))
+                break
+        else:
+            _cpuflags = platform.machine()
+except OSError:
+    _cpuflags = platform.machine()
+_env_fp = hashlib.sha256("|".join((
+    jax.__version__,
+    _cpuflags,
+    os.environ.get("XLA_FLAGS", ""),
+    os.environ.get("PALLAS_AXON_POOL_IPS", ""),
+    os.environ.get("PALLAS_AXON_REMOTE_COMPILE", ""),
+    os.environ.get("JAX_PLATFORMS", ""),
+)).encode()).hexdigest()[:8]
 _cache = os.environ.get(
-    "GALAHAD_TPU_JAX_CACHE", f"/root/repo/.jax_cache/{_hk}")
+    "GALAHAD_TPU_JAX_CACHE", f"/root/repo/.jax_cache/{_hk}-{_env_fp}")
 jax.config.update("jax_compilation_cache_dir", _cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
