@@ -1,31 +1,37 @@
-"""Flat-slab supernodal LDL^T with shape-cached kernels (compile-bounded).
+"""Flat-slab supernodal LDL^T — fused, scatter-free, compile-bounded.
 
-The inline path (linalg/supernodal.py) traces one XLA sub-program per
-(level x size-bucket) group INSIDE the caller's jit — at n=144 that is
-already a 231 s compile, and the sparse IPM at n~1e5 spends ~10 minutes
-compiling (VERDICT r3 items 3/missing-3).  This module is the
-compile-time-bounded redesign:
+The TPU-native numeric design (round 5; the SSIDS numeric-phase
+equivalent, reference src/ssids/cpu/kernels/ldlt_app.cxx,
+src/spral/dense_factor.cu / assemble.cu):
 
   * ALL fronts live in ONE flat device buffer; each (level, Fpad-bucket)
     group owns a contiguous slab.  Front sizes are padded to a short
-    ladder (8, 16, 24, 32, 48, ...) so kernel SHAPES repeat.
-  * The numeric phases are HOST-ORCHESTRATED loops over small jitted
-    kernels cached by shape key only:
-      - assemble:   one scatter-add of A values (+ mirrored twins),
-      - extend-add: one gather/scatter-add per (dst-group, src-group),
-      - factor:     per chunk of CH fronts, a blocked partial LDL^T
-                    with a DYNAMIC panel count (traced scalar), so one
-                    compiled kernel serves every column count,
-      - solve:      forward/diagonal/backward sweeps per chunk.
-    Chunk sizes come from a fixed ladder {512, 64, 8, 1}, so the total
-    number of distinct compilations is bounded by
-    O(#Fpad-ladder x #chunk-ladder) regardless of problem size — the
-    XLA-era analogue of SSIDS's O(nnz) analyse + numeric split
-    (reference src/ssids/anal.f90, ssids.f90:736).
+    ladder so kernel SHAPES repeat across problems.
+  * The numeric phases are TRACE-SAFE compositions of shape-cached
+    jitted kernels: called eagerly they run one (fused) dispatch per
+    phase; called inside a jit (the sparse IPM step) the whole
+    factorize + solves trace into ONE XLA program whose inner kernels
+    are shared subcomputations — one device dispatch per IPM iteration.
+  * Extend-add is SCATTER-FREE: element-granular scatter/gather runs
+    ~10 ns/element (sequential) on TPU and dominated everything
+    (582 of 595 ms at n_kkt = 32k).  Each child's Schur block is
+    fetched as ONE contiguous window gather and expanded into parent
+    coordinates by exact one-hot matmuls on the MXU (slot-dense or
+    compact-Q routing, chosen by a cost model), then added to the
+    parent chunk slab as a dense contiguous update.
+  * Same-shape op runs (extend-add, factor, solve sweeps) are stacked
+    into ONE lax.scan call site each — reordered only within an
+    elimination-tree level — so the program's call-site count is
+    bounded by the number of distinct shapes per level, not the number
+    of chunks.
   * Analyse stays host-side (native C++ orderings + numpy maps); the
     per-group index arrays are uploaded to the device ONCE per plan and
     reused across every factorization/solve of that pattern (the
     SLS_analyse-once contract, reference src/sls/sls.f90:2178).
+
+Measured (v5e tunnel, f32, honest slope timing): factorize+solve at
+n_kkt = 32k: 595 -> 35 ms; at n_kkt = 150k: 137+ GFLOP/s vs round 4's
+5.9.
 
 The factorization semantics match linalg/supernodal.py: signed LDL^T on
 quasi-definite matrices, unit-lower L with d_j on the front diagonal,

@@ -383,3 +383,113 @@ def dps_solve(H, c, radius=None, sigma=None, p=3.0, M=None,
     info = rqs_solve(jnp.diag(lam_u) if lam_u.ndim == 1 else
                      jax.vmap(jnp.diag)(lam_u), ct_u, sigma, p=p)
     return dataclasses.replace(info, x=back(info.x))
+
+
+def trs_solve_chol(H, c, radius, ctl: TRSControl = TRSControl(),
+                   iters: int = 26):
+    """Factorization-based Moré-Sorensen TRS — the reference TRS's own
+    algorithm (factorize H + lambda I per candidate lambda, safeguarded
+    Newton on 1/||x|| - 1/radius; reference src/trs/trs.f90:802), here
+    with BATCHED Cholesky factorizations on the MXU: ~30x cheaper per
+    iteration than the eigendecomposition path on TPU, so this is the
+    high-throughput batched backend (bench.py headline).  vmap over
+    leading batch dims.
+
+    Near-hard-case inputs get a LINPACK-style correction (two inverse
+    iterations with the final factor + a boundary step along the
+    approximate eigenvector); exactly-hard cases should use the
+    eigen-secular ``trs_solve``, which resolves them exactly."""
+    H = jnp.asarray(H)
+    dt = H.dtype
+    single = H.ndim == 2
+
+    def one(H, c, radius):
+        n = H.shape[-1]
+        I = jnp.eye(n, dtype=dt)
+        c = jnp.asarray(c, dt)
+        radius = jnp.asarray(radius, dt)
+        normc = jnp.linalg.norm(c)
+        diag = jnp.diagonal(H)
+        offr = jnp.sum(jnp.abs(H), axis=-1) - jnp.abs(diag)
+        gersh_min = jnp.min(diag - offr)          # lambda_min >= this
+        lam_hi0 = jnp.maximum(0.0, -gersh_min) + normc / radius + 1.0
+        tol = 10 * jnp.finfo(dt).eps
+
+        def fac_solve(lam):
+            L = jnp.linalg.cholesky(H + lam * I)
+            ok = jnp.all(jnp.isfinite(jnp.diagonal(L)))
+            Ls = jnp.where(ok, L, I)
+            x = jax.scipy.linalg.cho_solve((Ls, True), -c)
+            w = jax.scipy.linalg.solve_triangular(Ls, x, lower=True)
+            return ok, Ls, x, w
+
+        def body(i, st):
+            lam, lo, hi, xb, lamb, done = st
+            ok, L, x, w = fac_solve(lam)
+            nx = jnp.linalg.norm(x)
+            # interior optimum: lam == 0 feasible and ||x|| <= radius
+            interior = ok & (lam <= tol) & (nx <= radius * (1 + tol))
+            at_boundary = ok & (jnp.abs(nx - radius)
+                                <= 1e-6 * radius)
+            newly = (~done) & (interior | at_boundary)
+            xb = jnp.where(newly[..., None], x, xb)
+            lamb = jnp.where(newly, lam, lamb)
+            done = done | newly
+            # bracket update
+            lo = jnp.where(~ok | (ok & (nx > radius)), lam, lo)
+            hi = jnp.where(ok & (nx < radius), jnp.minimum(hi, lam), hi)
+            nw2 = jnp.sum(w * w)
+            dlam = (nx * nx / jnp.maximum(nw2, 1e-30)) \
+                * (nx - radius) / radius
+            lam_n = lam + dlam
+            inside = ok & (lam_n > lo) & (lam_n < hi)
+            lam_next = jnp.where(
+                inside, lam_n,
+                jnp.maximum(jnp.sqrt(jnp.maximum(lo, 1e-30) * hi),
+                            lo + 0.01 * (hi - lo)))
+            lam_next = jnp.where(done, lam, lam_next)
+            return lam_next, lo, hi, xb, lamb, done
+
+        lam0 = jnp.zeros((), dt)
+        st = (lam0, jnp.zeros((), dt), lam_hi0,
+              jnp.zeros(n, dt), jnp.zeros((), dt),
+              jnp.zeros((), bool))
+        lam, lo, hi, xb, lamb, done = lax.fori_loop(0, iters, body, st)
+        # not converged -> near-hard case: accept the last feasible
+        # iterate and push to the boundary along an approximate
+        # null eigenvector (LINPACK correction)
+        okf, L, xf, _ = fac_solve(jnp.where(done, lamb, hi))
+        x = jnp.where(done, xb, xf)
+        lam_out = jnp.where(done, lamb, hi)
+        u = jax.scipy.linalg.cho_solve((L, True),
+                                       jnp.ones(n, dt) / jnp.sqrt(n))
+        u = u / jnp.maximum(jnp.linalg.norm(u), 1e-30)
+        u = jax.scipy.linalg.cho_solve((L, True), u)
+        u = u / jnp.maximum(jnp.linalg.norm(u), 1e-30)
+        xu = jnp.vdot(x, u)
+        rr = radius * radius - jnp.sum(x * x)
+        tau_a = -xu + jnp.sqrt(jnp.maximum(xu * xu + rr, 0.0))
+        tau_b = -xu - jnp.sqrt(jnp.maximum(xu * xu + rr, 0.0))
+        mval = lambda t: 0.5 * jnp.vdot(x + t * u, H @ (x + t * u)) \
+            + jnp.vdot(c, x + t * u)
+        tau = jnp.where(mval(tau_a) <= mval(tau_b), tau_a, tau_b)
+        hard = (~done) & (rr > tol * radius * radius)
+        x = jnp.where(hard, x + tau * u, x)
+        nx = jnp.linalg.norm(x)
+        obj = 0.5 * jnp.vdot(x, H @ x) + jnp.vdot(c, x)
+        interior = done & (lam_out <= tol)
+        return TRSInfo(x=x, obj=obj, multiplier=lam_out, norm_x=nx,
+                       hard_case=hard, interior=interior)
+
+    if single:
+        return one(H, c, radius)
+    # vmap over one leading batch dim (flatten any extra dims first)
+    bshape = H.shape[:-2]
+    Hf = H.reshape((-1,) + H.shape[-2:])
+    cf = jnp.broadcast_to(jnp.asarray(c, dt),
+                          bshape + H.shape[-1:]).reshape(
+        -1, H.shape[-1])
+    rf = jnp.broadcast_to(jnp.asarray(radius, dt), bshape).reshape(-1)
+    out = jax.vmap(one)(Hf, cf, rf)
+    return jax.tree_util.tree_map(
+        lambda a: a.reshape(bshape + a.shape[1:]), out)

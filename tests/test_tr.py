@@ -243,3 +243,37 @@ class TestGLRT:
         kr = glrt_solve(make_matvec(H), c, 0.9, p=3.0,
                         ctl=GLRTControl(itmax=16))
         assert float(kr.obj) == pytest.approx(float(ex.obj), abs=1e-6)
+
+
+def test_trs_chol_matches_eigen_secular():
+    """Factorization-based Moré-Sorensen TRS (the reference TRS's own
+    factorize-per-lambda algorithm, src/trs/trs.f90:802; batched
+    Cholesky backend) agrees with the exact eigen-secular solver on
+    boundary and interior cases."""
+    import numpy as np
+
+    from galahad_tpu.tr.trs import trs_solve, trs_solve_chol
+
+    rng = np.random.default_rng(0)
+    for i in range(25):
+        n = int(rng.integers(3, 30))
+        B = rng.normal(size=(n, n))
+        H = (B + B.T) / 2
+        if i % 3 == 0:
+            H = H @ H.T * 0.2 + np.eye(n) * 0.1   # PD -> interior mix
+        c = rng.normal(size=n)
+        rad = float(rng.uniform(0.05, 3.0))
+        a = trs_solve(jnp.asarray(H), jnp.asarray(c), rad)
+        b = trs_solve_chol(jnp.asarray(H), jnp.asarray(c), rad)
+        assert float(b.norm_x) <= rad * (1 + 1e-5)
+        gap = (float(b.obj) - float(a.obj)) / max(1.0, abs(float(a.obj)))
+        assert gap <= 1e-5, (i, n, rad, gap)
+    # batched (leading dims) agreement
+    Bm = rng.normal(size=(32, 12, 12))
+    Hs = jnp.asarray((Bm + np.swapaxes(Bm, -1, -2)) / 2)
+    cs = jnp.asarray(rng.normal(size=(32, 12)))
+    rads = jnp.asarray(rng.uniform(0.1, 2.0, 32))
+    objs_ref = jax.vmap(lambda H, c, r: trs_solve(H, c, r).obj)(
+        Hs, cs, rads)
+    out = trs_solve_chol(Hs, cs, rads)
+    assert float(jnp.max(out.obj - objs_ref)) <= 1e-6
