@@ -385,13 +385,23 @@ def flat_analyse(rows, cols, n, order: str = "amd",
 
 
 def _device_plan(plan: FlatPlan):
-    if plan._dev is not None:
-        return plan._dev
+    # per-backend cache: the f64 endgame island may rerun the same plan
+    # on the host CPU backend (jax.default_device), which needs its own
+    # copies of the index arrays (cross-device closure constants would
+    # force slow tunnel fetches / colocation errors)
+    d0 = jax.config.jax_default_device
+    key = d0.platform if d0 is not None else "default"
+    if plan._dev is None:
+        plan._dev = {}
+    if key in plan._dev:
+        return plan._dev[key]
     # the plan's index arrays must be CONCRETE device buffers even when
     # this cache is first populated inside a jit trace (the fused path):
     # without this, the cached plan._dev would hold leaked tracers
     with jax.ensure_compile_time_eval():
-        return _device_plan_build(plan)
+        built = _device_plan_build(plan)
+    plan._dev[key] = built
+    return built
 
 
 def _device_plan_build(plan: FlatPlan):
@@ -634,7 +644,6 @@ def _device_plan_build(plan: FlatPlan):
 
     dev["s_fwd"] = solve_packs(False)
     dev["s_bwd"] = solve_packs(True)
-    plan._dev = dev
     return dev
 
 

@@ -1183,7 +1183,27 @@ def _sparse_f64_island(qp, st: IPMState, ctl: IPMControl,
     if not _prev_x64:
         _jax.config.update("jax_enable_x64", True)
     try:
-        return _sparse_f64_island_body(qp, st, ctl, extra_iters)
+        try:
+            return _sparse_f64_island_body(qp, st, ctl, extra_iters)
+        except _jax.errors.JaxRuntimeError as e:
+            # some accelerator stacks cannot compile/execute the big
+            # f64 program (observed: remote TPU compile helper failing
+            # on the fused f64 solve); the island is a few short
+            # iterations, so rerun it on the host CPU backend — same
+            # f64 numerics, bounded cost
+            cpus = _jax.devices("cpu")
+            if not cpus:
+                raise
+            import warnings
+
+            warnings.warn(
+                f"f64 endgame island fell back to CPU: {e}",
+                RuntimeWarning, stacklevel=2)
+            with _jax.default_device(cpus[0]):
+                st_cpu = _jax.device_put(st, cpus[0])
+                qp_cpu = _jax.device_put(qp, cpus[0])
+                return _sparse_f64_island_body(qp_cpu, st_cpu, ctl,
+                                               extra_iters)
     finally:
         if not _prev_x64:
             _jax.config.update("jax_enable_x64", False)
@@ -1346,8 +1366,14 @@ def ipm_solve(qp: QP, ctl: IPMControl = IPMControl()):
             if (len(d_hist) >= 4
                     and min(d_hist[-2:]) > 0.7 * min(d_hist[:-2])):
                 break
+        # the limit governs SOLVE time: the first iteration's wall is
+        # dominated by trace+XLA compile (an artifact of the jit
+        # execution model with no reference analogue), so it is
+        # excluded — otherwise a cold-cache run at n~1e5 spends the
+        # whole budget compiling and reports -19 after one step
         if (ctl.clock_time_limit >= 0
-                and _time.perf_counter() - t_start > ctl.clock_time_limit):
+                and _time.perf_counter() - t_start - t_analyse
+                > ctl.clock_time_limit):
             timed_out = True
             break
     if timed_out and not bool(st.converged):

@@ -229,3 +229,26 @@ def test_f64_island_restores_x64_flag():
         assert jnp.zeros(3).dtype == jnp.float32    # f32 semantics kept
     finally:
         jax.config.update("jax_enable_x64", prev)
+
+
+def test_sparse_ipm_solve_compiled_while_loop():
+    """The fully-compiled driver (lax.while_loop on device) now serves
+    SPARSE problems too — the supernodal factorize/solve are trace-safe
+    (round 5); enables vmap/shard_map over same-pattern batches."""
+    from galahad_tpu.qp.ipm import ipm_solve_compiled
+
+    rng = np.random.default_rng(0)
+    n, m = 36, 18
+    ii = jj = np.arange(n)
+    vv = np.full(n, 2.0)
+    ar = np.repeat(np.arange(m), 2)
+    ac = np.stack([np.arange(m), np.arange(m) + n - m]).T.reshape(-1)
+    av = rng.uniform(0.5, 1.5, 2 * m)
+    sqp = make_sparse_qp(
+        n, m, h_coo=(ii, jj, vv), a_coo=(ar, ac, av),
+        g=rng.normal(size=n), c_l=np.full(m, 1.0),
+        c_u=np.full(m, 1e20), x_l=np.zeros(n), x_u=np.full(n, 2.0))
+    x, y, z, st = ipm_solve_compiled(sqp, IPMControl(maxit=30))
+    assert int(st.status) == 0
+    assert max(float(st.res_p), float(st.res_d),
+               float(st.res_c)) <= 1e-6
