@@ -1199,11 +1199,14 @@ def _sparse_f64_island(qp, st: IPMState, ctl: IPMControl,
             warnings.warn(
                 f"f64 endgame island fell back to CPU: {e}",
                 RuntimeWarning, stacklevel=2)
+            dev0 = next(iter(qp.g.devices()))
             with _jax.default_device(cpus[0]):
                 st_cpu = _jax.device_put(st, cpus[0])
                 qp_cpu = _jax.device_put(qp, cpus[0])
-                return _sparse_f64_island_body(qp_cpu, st_cpu, ctl,
-                                               extra_iters)
+                out = _sparse_f64_island_body(qp_cpu, st_cpu, ctl,
+                                              extra_iters)
+            # hand the (dw-folded f32) state back on the caller's device
+            return _jax.device_put(out, dev0)
     finally:
         if not _prev_x64:
             _jax.config.update("jax_enable_x64", False)
@@ -1246,7 +1249,37 @@ def _sparse_f64_island_body(qp, st: IPMState, ctl: IPMControl,
         st64 = _sparse_ipm_step(qp64, masks, st64, ctl64)
         if bool(st64.halt):
             break
-    return st64
+    if qp.g.dtype == jnp.float64:
+        return st64
+    # fold the refined f64 iterate BACK into the caller's double-word
+    # f32 representation (hi = f32(v), lo = f32(v - hi)) so downstream
+    # extraction/indicators keep f32 semantics after the x64 flag is
+    # restored; solution_dw reconstructs the full-accuracy values
+    f4 = jnp.float32
+
+    def dw(v):
+        hi = jnp.asarray(v, f4)
+        return hi, jnp.asarray(v - hi.astype(f8), f4)
+
+    x, x_lo = dw(st64.x)
+    c, c_lo = dw(st64.c)
+    y, y_lo = dw(st64.y)
+    z_l, zl_lo = dw(st64.z_l)
+    z_u, zu_lo = dw(st64.z_u)
+    y_l, yl_lo = dw(st64.y_l)
+    y_u, yu_lo = dw(st64.y_u)
+    return dataclasses.replace(
+        st64,
+        x=x, x_lo=x_lo, c=c, c_lo=c_lo, y=y, y_lo=y_lo,
+        z_l=z_l, zl_lo=zl_lo, z_u=z_u, zu_lo=zu_lo,
+        y_l=y_l, yl_lo=yl_lo, y_u=y_u, yu_lo=yu_lo,
+        s_l=jnp.asarray(st64.s_l, f4), s_u=jnp.asarray(st64.s_u, f4),
+        t_l=jnp.asarray(st64.t_l, f4), t_u=jnp.asarray(st64.t_u, f4),
+        mu=jnp.asarray(st64.mu, f4),
+        res_p=jnp.asarray(st64.res_p, f4),
+        res_d=jnp.asarray(st64.res_d, f4),
+        res_c=jnp.asarray(st64.res_c, f4),
+        best_infeas=jnp.asarray(st64.best_infeas, f4))
 
 
 def ipm_solve(qp: QP, ctl: IPMControl = IPMControl()):

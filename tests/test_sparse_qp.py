@@ -224,7 +224,10 @@ def test_f64_island_restores_x64_flag():
         masks = classify_bounds(sqp, ctl.infinity)
         st = ipm_init(sqp, masks, ctl)
         st64 = _sparse_f64_island(sqp, st, ctl, extra_iters=2)
-        assert st64.x.dtype == jnp.float64          # island ran in f64
+        # the island folds its f64 iterate back into the caller's
+        # double-word f32 representation
+        assert st64.x.dtype == jnp.float32
+        assert st64.x_lo.dtype == jnp.float32
         assert not jax.config.jax_enable_x64        # flag restored
         assert jnp.zeros(3).dtype == jnp.float32    # f32 semantics kept
     finally:
