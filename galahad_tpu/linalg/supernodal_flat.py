@@ -69,6 +69,16 @@ def _fpad_for(f: int) -> int:
     return _round_up(f, 1024)
 
 
+def _tile_elems(r: int, c: int) -> int:
+    """Elements a (r, c) f32 tile actually occupies in TPU memory: the
+    (8, 128) sublane x lane tiling pads the last dim to 128 — a
+    (N, 8, 8) tensor occupies 16x its logical size.  All chunk caps
+    account for PADDED footprints (an unpadded cap let a (3.1M, 8, 8)
+    extend-add transient balloon to 12 GB of HBM temp and OOM the f64
+    island compile)."""
+    return -(-r // 8) * 8 * (-(-c // 128) * 128)
+
+
 def _chunks_of(nb: int, Fpad: int = 8, cap_elems: int = None):
     """Decompose nb into chunk-ladder pieces (largest first), capping
     each chunk's memory footprint at _CHUNK_ELEMS elements."""
@@ -442,7 +452,8 @@ def _device_plan_build(plan: FlatPlan):
     for g in plan.groups:
         def mk_chunks(cap_mult):
             out = []
-            cap = max(1, cap_mult * _CHUNK_ELEMS // (g.Fpad * g.Fpad))
+            cap = max(1, cap_mult * _CHUNK_ELEMS
+                      // _tile_elems(g.Fpad, g.Fpad))
             for off, ch in _chunks_of(g.nb, g.Fpad, cap_elems=cap):
                 nco = g.ncols[off:off + ch]
                 out.append(dict(
@@ -516,8 +527,10 @@ def _device_plan_build(plan: FlatPlan):
                             # sub-chunk the slot rows to cap both the
                             # (chsub, Um, fps) gather transient and the
                             # (chsub, Fd, Fd) contribution
-                            cap = max(1, _EA_ELEMS
-                                      // max(Um * max(fps, Um), Fd * Fd))
+                            cap = max(1, _EA_ELEMS // max(
+                                _tile_elems(Um, max(fps, Um)),
+                                _tile_elems(Um, Fd),
+                                _tile_elems(Fd, Fd)))
                             for so, sc in _chunks_of(ch, cap_elems=cap):
                                 c2 = chunks[ci]
                                 c2["ea"].append(dict(
@@ -528,8 +541,10 @@ def _device_plan_build(plan: FlatPlan):
                                     ppos=arr(pt[so:so + sc])))
                     else:
                         NC = max(8, _p2(nc))
-                        cap = max(1, _EA_ELEMS
-                                  // max(Um * max(fps, Um), Fd * Fd))
+                        cap = max(1, _EA_ELEMS // max(
+                            _tile_elems(Um, max(fps, Um)),
+                            _tile_elems(Um, Fd),
+                            _tile_elems(Fd, Fd)))
                         for so, sc in _chunks_of(NC, cap_elems=cap):
                             sub = olist[so:so + sc]
                             if not sub:
@@ -560,13 +575,19 @@ def _device_plan_build(plan: FlatPlan):
     # DISTINCT shapes per level, not the number of chunks — the
     # round-5 compile/trace-size fix (was ~5000 call sites per IPM
     # step at n_kkt=150k).
+    _MAX_SCAN = 64   # XLA may hoist/remat per-step transients across a
+                     # scan; bound the run length so that stays ~1 GB
+                     # padded even for (.., 8, 8)-tiled small fronts
+
     def runs(items, key):
-        """Group maximal CONSECUTIVE same-key runs.  Items must already
-        be in a legal execution order — only reorder before calling
-        this where reordering is legal (within one level)."""
+        """Group maximal CONSECUTIVE same-key runs (length-capped).
+        Items must already be in a legal execution order — only reorder
+        before calling this where reordering is legal (within one
+        level)."""
         out: list = []
         for it in items:
-            if out and key(out[-1][0]) == key(it):
+            if (out and key(out[-1][0]) == key(it)
+                    and len(out[-1]) < _MAX_SCAN):
                 out[-1].append(it)
             else:
                 out.append([it])

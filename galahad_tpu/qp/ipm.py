@@ -1182,10 +1182,32 @@ def _sparse_f64_island(qp, st: IPMState, ctl: IPMControl,
     _prev_x64 = bool(_jax.config.jax_enable_x64)
     if not _prev_x64:
         _jax.config.update("jax_enable_x64", True)
+    # a failed accelerator f64 compile costs minutes; remember it
+    # ACROSS processes (marker next to the persistent compile cache)
+    # so reruns go straight to the CPU island
+    _marker = None
+    cache_dir = _jax.config.jax_compilation_cache_dir
+    if cache_dir:
+        import os as _os
+
+        _marker = _os.path.join(
+            cache_dir, f"island-f64-fail-{qp.n}-{qp.m}-"
+            f"{_jax.default_backend()}")
     try:
         try:
+            if _marker and _os.path.exists(_marker):
+                raise _jax.errors.JaxRuntimeError(
+                    "accelerator f64 island previously failed here "
+                    "(marker file); using the CPU island")
             return _sparse_f64_island_body(qp, st, ctl, extra_iters)
         except _jax.errors.JaxRuntimeError as e:
+            if _marker and not _os.path.exists(_marker):
+                try:
+                    _os.makedirs(cache_dir, exist_ok=True)
+                    with open(_marker, "w") as fh:
+                        fh.write(str(e)[:500])
+                except OSError:
+                    pass
             # some accelerator stacks cannot compile/execute the big
             # f64 program (observed: remote TPU compile helper failing
             # on the fused f64 solve); the island is a few short
