@@ -326,7 +326,10 @@ def bench_sparse_ipm(k=316):
         n, m, h_coo=(ii, jj, vv), a_coo=(ar, ac, av),
         g=rng.normal(size=n), c_l=np.full(m, 1.0), c_u=np.full(m, 1e20),
         x_l=np.zeros(n), x_u=np.full(n, 2.0), dtype=dtype)
-    ctl = IPMControl(dtype=dtype, clock_time_limit=420.0)
+    # 4 iterations per device dispatch: fixed dispatch+fetch overhead
+    # through the tunnel is ~1-3 s/round at this program size
+    ctl = IPMControl(dtype=dtype, clock_time_limit=420.0,
+                     steps_per_fetch=4)
     t0 = time.perf_counter()
     x, y, z, st = ipm_solve(sqp, ctl)
     wall = time.perf_counter() - t0

@@ -881,7 +881,13 @@ def _k_fwd_scan(CH: int, Fpad: int, n_pad: int, S_pad: int, dt: str):
     def k(store, y, goffs, ncols, nblocks, frows):
         def body(y, xs):
             goff, nc, nb, fr = xs
-            return _fwd_one(store, y, goff, nc, nb, fr,
+            # barrier: the store is loop-invariant here, and without it
+            # XLA hoists reshape(dynamic_slice(store)) out of the scan
+            # as reshape(WHOLE store) -> a (S/Fpad^2, Fpad, Fpad) copy
+            # that the (8, 128) tiling pads 16x (12 GB of HLO temp at
+            # n_kkt = 150k; OOMs the f64 program)
+            st_b = lax.optimization_barrier(store)
+            return _fwd_one(st_b, y, goff, nc, nb, fr,
                             CH, Fpad, B, n_pad, dt), None
 
         y, _ = lax.scan(body, y, (goffs, ncols, nblocks, frows))
@@ -897,7 +903,8 @@ def _k_bwd_scan(CH: int, Fpad: int, n_pad: int, S_pad: int, dt: str):
     def k(store, y, goffs, ncols, nblocks, frows):
         def body(y, xs):
             goff, nc, nb, fr = xs
-            return _bwd_one(store, y, goff, nc, nb, fr,
+            st_b = lax.optimization_barrier(store)   # see _k_fwd_scan
+            return _bwd_one(st_b, y, goff, nc, nb, fr,
                             CH, Fpad, B, n_pad, dt), None
 
         y, _ = lax.scan(body, y, (goffs, ncols, nblocks, frows))

@@ -60,6 +60,14 @@ class IPMControl:
     rho: float = 0.0            # primal regularization (0 -> auto shift)
     delta: float = 1.0e-8       # dual regularization on equality rows
     refine: int = 2             # iterative-refinement sweeps per solve
+    steps_per_fetch: int = 1    # iterations per device dispatch: > 1
+                                # runs a lax.while_loop of up to this
+                                # many steps between host monitor
+                                # fetches (remote backends: each fetch
+                                # costs ~30 ms and each dispatch has
+                                # fixed overhead; the flagship bench
+                                # uses 4).  Monitoring/checkpoint
+                                # granularity coarsens accordingly.
     tau: float = 0.995          # fraction-to-boundary factor
     series_order: int = 2       # 1 = pure Newton, 2 = Mehrotra PC, 3+ extra correctors
     arc: str = "mehrotra"       # "mehrotra" | "taylor" (Zhang arc) |
@@ -952,6 +960,27 @@ def _jitted_step(qp: QP, masks: BoundMasks, st: IPMState, ctl: IPMControl,
     return ipm_step(qp, masks, st, ctl)
 
 
+@partial(jax.jit, static_argnames=("ctl", "h_kind"))
+def _jitted_multi_step(qp: QP, masks: BoundMasks, st: IPMState,
+                       ctl: IPMControl, h_kind: str):
+    """Up to ctl.steps_per_fetch iterations in ONE device dispatch
+    (early exit on halt): amortizes fixed dispatch overhead and host
+    monitor fetches on remote backends."""
+    B = max(1, ctl.steps_per_fetch)
+
+    def cond(c):
+        s, k = c
+        return (~s.halt) & (k < B) & (s.iter < ctl.maxit)
+
+    def body(c):
+        s, k = c
+        return ipm_step(qp, masks, s, ctl), k + 1
+
+    s, _ = jax.lax.while_loop(
+        cond, body, (st, jnp.asarray(0, jnp.int32)))
+    return s
+
+
 # ---------------------------------------------------------------------------
 # Split-step driver for SPARSE problems.
 #
@@ -1359,6 +1388,9 @@ def ipm_solve(qp: QP, ctl: IPMControl = IPMControl()):
             step = lambda q, mk, s: ipm_step(q, mk, s, ctl)
         else:
             step = lambda q, mk, s: _sparse_ipm_step(q, mk, s, ctl)
+    elif ctl.steps_per_fetch > 1 and ctl.print_level < 1:
+        step = lambda q, mk, s: _jitted_multi_step(q, mk, s, ctl,
+                                                   q.h_kind)
     else:
         step = lambda q, mk, s: _jitted_step(q, mk, s, ctl, q.h_kind)
     t_pre = _time.perf_counter()
@@ -1374,37 +1406,42 @@ def ipm_solve(qp: QP, ctl: IPMControl = IPMControl()):
                   and qp.g.dtype == jnp.float32)
     import numpy as _np
 
-    for k in range(0 if bad != 0 else ctl.maxit):
+    it_now = 0
+    first_fetch = True
+    while it_now < (0 if bad != 0 else ctl.maxit):
         t0 = _time.perf_counter()
         prev_st = st
-        st = step(qp, masks, st)
-        # ONE host fetch per iteration: through a remote/tunnel backend
-        # each device->host scalar read costs ~30 ms, so the loop's
-        # monitoring scalars travel together (also the true completion
-        # fence — block_until_ready can be acked before execution on
-        # relay backends)
+        st = step(qp, masks, st)   # 1..steps_per_fetch iterations
+        # ONE host fetch per dispatch round: through a remote/tunnel
+        # backend each device->host scalar read costs ~30 ms, so the
+        # loop's monitoring scalars travel together (also the true
+        # completion fence — block_until_ready can be acked before
+        # execution on relay backends)
         f = jnp.float64 if st.res_p.dtype == jnp.float64 else jnp.float32
         mon = _np.asarray(jnp.stack([
             st.res_p.astype(f), st.res_d.astype(f), st.res_c.astype(f),
-            st.mu.astype(f), st.halt.astype(f)]))
+            st.mu.astype(f), st.halt.astype(f),
+            st.iter.astype(f)]))
         res_p, res_d, res_c, mu_h = (float(mon[0]), float(mon[1]),
                                      float(mon[2]), float(mon[3]))
+        it_now = int(round(float(mon[5])))
         dt_it = _time.perf_counter() - t0
-        if k == 0:
-            t_analyse = dt_it            # trace + compile + first iter
+        if first_fetch:
+            t_analyse = dt_it            # trace + compile + first round
         else:
             t_solve += dt_it
         cp = checkpoint_update(
             cp, max(res_p, res_d, res_c),
-            k + 1, _time.perf_counter() - t_start)
+            it_now, _time.perf_counter() - t_start)
         if ctl.print_level >= 1:
-            if k == 0:
+            if first_fetch:
                 print(" iter     p-feas     d-feas   com-slck"
                       "         mu    time")
-            print(f"{k + 1:5d} {res_p:10.2e}"
+            print(f"{it_now:5d} {res_p:10.2e}"
                   f" {res_d:10.2e} {res_c:10.2e}"
                   f" {mu_h:10.2e}"
                   f" {_time.perf_counter() - t_start:7.2f}")
+        first_fetch = False
         kkt_now = max(res_p, res_d, res_c)
         if kkt_now < best_kkt:
             best_kkt = kkt_now
