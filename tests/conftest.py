@@ -9,6 +9,25 @@ os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
 
+
+# XLA:CPU's optimization passes recurse deeply on the largest programs
+# in this suite (the qcqp -> lancelot -> trb while-loop nest) and can
+# overflow the default 8 MB main-thread stack INSIDE the compiler — the
+# historic mid-suite segfault in backend_compile_and_load.  The main
+# thread's stack grows on demand up to RLIMIT_STACK, which may be
+# raised at runtime.
+import resource  # noqa: E402
+
+_soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+_want = 512 * 1024 * 1024
+if _soft != resource.RLIM_INFINITY and _soft < _want:
+    try:
+        _new = _want if _hard in (resource.RLIM_INFINITY,) \
+            else min(_want, _hard)
+        resource.setrlimit(resource.RLIMIT_STACK, (_new, _hard))
+    except (ValueError, OSError):
+        pass
+
 import jax  # noqa: E402
 
 # The environment may register a TPU-tunnel backend via sitecustomize and
@@ -66,3 +85,20 @@ _cache = os.environ.get(
     "GALAHAD_TPU_JAX_CACHE", f"/root/repo/.jax_cache/{_hk}-{_env_fp}")
 jax.config.update("jax_compilation_cache_dir", _cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+# The full suite in one process has crashed XLA:CPU inside
+# backend_compile_and_load at the same late-suite compile even with a
+# cold cache, a raised stack limit, no axon plugin env, and no
+# concurrent load — while every file passes alone and the same test
+# compiles in seconds cold.  The trigger is cumulative in-process
+# compiler state (~300 compiles).  Dropping all live executables and
+# tracing caches between modules resets that state; the persistent
+# on-disk cache makes the re-loads cheap.
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    yield
+    jax.clear_caches()

@@ -1,13 +1,14 @@
 #!/usr/bin/env python
-"""Run the test suite with per-file process isolation.
+"""Run the test suite with per-file process isolation (FALLBACK).
 
-The full suite in ONE process has repeatedly crashed this environment's
-XLA:CPU backend at ~60% (segfaults inside the persistent-cache write
-path and inside backend_compile of mid-suite programs — see
-tests/conftest.py), while every file passes when run on its own.  This
-runner is the committed, reproducible way to get a green full-suite
-signal: one pytest subprocess per test file, shared persistent compile
-cache, aggregated summary, nonzero exit on any failure.
+ROUND-5 STATUS: ``python -m pytest tests/`` in ONE process is green
+(3 consecutive full runs) — the historic ~60% XLA:CPU segfault was
+root-caused to cumulative in-process compiler state after ~300
+compiles (not the cache, env, stack size, or concurrency — each
+eliminated by direct experiment) and is fixed by the module-scoped
+``jax.clear_caches()`` fixture in tests/conftest.py.  Prefer plain
+pytest; this per-file-subprocess runner remains as the belt-and-braces
+fallback for environments where the in-process instability resurfaces.
 
 Usage:  python tests/run_suite.py [-k EXPR] [files...]
 """
